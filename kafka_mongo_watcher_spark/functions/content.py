@@ -1,0 +1,73 @@
+"""Vectorized per-event transforms (Arrow/pandas UDFs — never per-row Python).
+
+The reference serializes every change event to canonical Extended JSON so
+that downstream consumers see deterministic bytes per event
+(/root/reference/internal/mongo/event.go:31-33,
+/root/reference/internal/mongo/transformer.go:25-29; golden byte-equality in
+transformer_test.go:44,52). Our analog of that determinism contract is a
+canonical *content normalization* followed by a sha256 fingerprint: the
+per-row invariant `content_sha256` must be byte-stable regardless of which
+executor, batch, or replay produced it.
+
+Normalization (byte-deterministic, locale/time independent):
+  1. Unicode NFC normalization.
+  2. CRLF/CR → LF.
+  3. Strip trailing whitespace from every line.
+  4. Exactly one trailing newline (empty string stays empty).
+
+`normalize_content_py` / `sha256_hex_py` are the plain-Python versions
+shared with the sequential replay oracle (tests compare the engine's final
+state against the oracle via these exact bytes, mirroring the reference's
+golden-JSON strategy in cmd/watcher/main_test.go:111-119).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
+
+def normalize_content_py(raw: str | None) -> str | None:
+    """Canonical content normalization (plain Python, shared with the oracle)."""
+    if raw is None:
+        return None
+    s = unicodedata.normalize("NFC", raw)
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    s = "\n".join(line.rstrip() for line in s.split("\n"))
+    s = s.rstrip("\n")
+    return s + "\n" if s else ""
+
+
+def sha256_hex_py(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+@F.pandas_udf(_RESULT_TYPE)
+def _normalize_and_fingerprint_udf(raw: pd.Series) -> pd.DataFrame:
+    # One Arrow batch in, one Arrow batch out: normalization + sha256 fused so
+    # the string crosses the JVM<->Python boundary exactly once.
+    norm = raw.map(normalize_content_py, na_action="ignore")
+    sha = norm.map(sha256_hex_py, na_action="ignore")
+    return pd.DataFrame({"content": norm, "content_sha256": sha})
+
+
+def normalize_and_fingerprint(col):
+    """Column → struct<content, content_sha256> via one vectorized pandas UDF.
+
+    Usage: df.withColumn("_nf", normalize_and_fingerprint(F.col("content_raw")))
+             .withColumn("content", F.col("_nf.content")) ...
+    """
+    return _normalize_and_fingerprint_udf(col)

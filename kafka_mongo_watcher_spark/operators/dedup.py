@@ -1,0 +1,70 @@
+"""Last-writer-wins dedup per key within a micro-batch.
+
+The reference gets LWW implicitly: a single change-stream cursor is totally
+ordered, and Kafka hash-partitioning by document key preserves per-key order
+downstream (/root/reference/internal/kafka/client.go:25-36). A distributed
+micro-batch has no such total order, so we make LWW explicit:
+window/row_number over (commit_seq, offset) descending per (repo, path)
+— the north_star's mandated dedup.
+
+Skew: one hot repo can carry ~50% of a batch (FIXTURES.md §2), which makes
+the window's hash-partitioned sort lopsided. `lww_dedup_salted` does
+two-phase LWW: phase 1 reduces within (key, salt) using max_by — a partial
+aggregation with map-side combine, so the hot key is split across
+`n_salts` reducers — then phase 2 reduces the ≤n_salts survivors per key.
+Results are identical to the unsalted path (tested); only the shuffle shape
+changes. AQE skew handling stays on as a second line of defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY_COLS = ("repo", "path")
+ORDER_COLS = ("commit_seq", "offset")
+
+
+def _ordering(df: DataFrame):
+    return [F.col(c).desc() for c in ORDER_COLS if c in df.columns] or [
+        F.col("commit_seq").desc()
+    ]
+
+
+def lww_dedup(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
+    """Keep only the last writer per key: row_number()==1 over the key window
+    ordered by (commit_seq, offset) desc. One shuffle on the key columns —
+    the same shuffle the downstream merge needs, so at scale the exchange is
+    reused (Catalyst sees compatible partitioning)."""
+    w = Window.partitionBy(*key_cols).orderBy(*_ordering(df))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_dedup_salted(df: DataFrame, key_cols=KEY_COLS, n_salts: int = 16) -> DataFrame:
+    """Two-phase LWW for skewed keys (SURVEY.md §4 item 1).
+
+    Phase 1: group by (key, salt) — salt derived from the ordering column so
+    it is deterministic — and take max_by(row, ordering). max_by is a real
+    aggregate, so Spark applies map-side partial aggregation: the hot key's
+    millions of events collapse to ≤n_salts rows before the wide shuffle.
+    Phase 2: same max_by grouped by the bare key.
+    """
+    order_cols = [c for c in ORDER_COLS if c in df.columns]
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.max_by(payload, ord_struct).alias("_row"))
+    )
+    phase2 = (
+        phase1.groupBy(*key_cols)
+        .agg(F.max_by(F.col("_row"), F.struct(*[F.col(f"_row.{c}") for c in order_cols])).alias("_row"))
+    )
+    return phase2.select("_row.*")

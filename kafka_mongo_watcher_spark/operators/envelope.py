@@ -1,0 +1,115 @@
+"""Per-event projections: envelope build, transform, validation, debug filters.
+
+Maps the reference's event→message pipeline stage by stage:
+  F4 envelope restructure   /root/reference/internal/mongo/replay_producer.go:18-39
+  F6 key validation         /root/reference/internal/mongo/event.go:36-42,
+                            transformer.go:19-23 (empty key ⇒ row rejected)
+  F7 canonical serialization event.go:31-33 (→ normalize+sha256 here)
+  F8 error-tolerant map     transformer.go:14-41 (bad rows skipped, stream lives)
+  F9 tracing header         /root/reference/internal/kafka/client_tracer.go:42-53
+  F10 update-vs-insert view /root/reference/internal/debug/debugger.go:33-37
+  U1-U3 debug-UI filters    /root/reference/public/src/component/Filter.js:49-67,
+                            App.js:26,48
+All are pure Catalyst projections/filters except the normalization+sha256
+fingerprint, which is the mandated vectorized pandas UDF
+(functions/content.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.functions.content import normalize_and_fingerprint
+
+
+def build_insert_envelope(snapshot: DataFrame, *, partition_id: int = 0) -> DataFrame:
+    """Replay mode: wrap every row of the base table as a synthetic insert
+    event (the `$replaceRoot` projection, replay_producer.go:18-39, with the
+    `copyingData` marker folded into op='insert')."""
+    w = Window.partitionBy(F.lit(partition_id)).orderBy("repo", "path")
+    seq = F.row_number().over(w).cast("long")
+    return snapshot.select(
+        F.lit(partition_id).cast("int").alias("partition_id"),
+        seq.alias("offset"),
+        F.lit("insert").alias("op"),
+        "repo",
+        "path",
+        F.col("commit"),
+        F.col("lang"),
+        F.col("content").alias("content_raw"),
+    ).withColumn("commit_seq", F.col("offset") - F.lit(1))
+
+
+def transform_events(
+    events: DataFrame,
+    *,
+    app_name: str = "kmw-spark",
+    with_lineage: bool = True,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Event → apply-ready record (the reference Transformer, F6+F7+F8+F9).
+
+    - key validation: null/empty repo or path ⇒ row dropped, batch survives
+      (transformer.go:19-23 skip semantics; counted by caller's observe()).
+    - normalization + sha256 fingerprint via ONE vectorized pandas UDF.
+    - lineage column = reference's x-tracing header analog (app, commit_seq).
+    """
+    df = events
+    if drop_malformed:
+        df = df.filter(
+            F.col("repo").isNotNull()
+            & (F.col("repo") != "")
+            & F.col("path").isNotNull()
+            & (F.col("path") != "")
+        )
+    nf = normalize_and_fingerprint(F.col("content_raw"))
+    df = (
+        df.withColumn("_nf", nf)
+        .withColumn("content", F.col("_nf.content"))
+        .withColumn("content_sha256", F.col("_nf.content_sha256"))
+        .drop("_nf", "content_raw")
+    )
+    if with_lineage:
+        df = df.withColumn(
+            "lineage",
+            F.struct(
+                F.lit(app_name).alias("app"),
+                F.col("partition_id").alias("src_partition"),
+                F.col("offset").alias("src_offset"),
+            ),
+        )
+    return df
+
+
+def debug_payload(df: DataFrame) -> DataFrame:
+    """Update-vs-insert payload selection (debugger.go:33-37): updates show
+    the delta (here: the fingerprint), everything else the full document."""
+    return df.withColumn(
+        "payload",
+        F.when(F.col("op") == "update", F.col("content_sha256")).otherwise(
+            F.col("content")
+        ),
+    )
+
+
+def text_search_filter(df: DataFrame, query: str, cols=("repo", "path", "content")) -> DataFrame:
+    """Debug-UI substring search over id/value (Filter.js:49-61)."""
+    cond = None
+    for c in cols:
+        p = F.col(c).contains(query)
+        cond = p if cond is None else (cond | p)
+    return df.filter(cond)
+
+
+def op_type_filter(df: DataFrame, op: str) -> DataFrame:
+    """Operation-type equality filter (Filter.js:62-66)."""
+    return df.filter(F.col("op") == op)
+
+
+def keep_last_n(df: DataFrame, n: int, order_cols=("commit_seq", "offset")) -> DataFrame:
+    """Keep-last-N sliding view (App.js:26,48 — hard cap 500 in the UI).
+    Global top-N: sort desc + limit; Catalyst turns it into TakeOrderedAndProject
+    (no full sort at scale)."""
+    cols = [c for c in order_cols if c in df.columns]
+    return df.orderBy(*[F.col(c).desc() for c in cols]).limit(n)

@@ -1,0 +1,61 @@
+"""Change-event log sources.
+
+The reference's two producers (SURVEY.md §2.1):
+  S1 watch  — tail the change stream        → `stream_event_log` (readStream
+              file source in per-partition offset order; checkpointed offsets
+              are the resume-token analog, watch_producer.go:106-134)
+  S3 replay — snapshot scan → insert events → `operators.build_insert_envelope`
+              over a batch read of the base table (replay_producer.go:17-67)
+
+Fetch hints (S6: BatchSize / MaxAwaitTime, watch_producer.go:74-77) map to
+maxFilesPerTrigger / trigger interval. Retry & reconnect (S7/S8) are Spark
+built-ins: task retries + restart-from-checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENT_SCHEMA_DDL = (
+    "partition_id int, commit_seq bigint, op string, repo string, path string, "
+    "commit string, lang string, content_raw string, offset bigint"
+)
+
+
+def event_schema() -> T.StructType:
+    return T.StructType.fromDDL(EVENT_SCHEMA_DDL)
+
+
+def read_event_log(spark: SparkSession, path: str, *, explicit_schema: bool = False) -> DataFrame:
+    """Batch read of an event-log directory (or one chunk of it).
+
+    explicit_schema=False infers per-file schema so pre-evolution chunks
+    genuinely lack the `lang` column and the engine's schema-evolution path
+    is exercised; True reads with the full superset schema (missing columns
+    → null)."""
+    if explicit_schema:
+        return spark.read.schema(event_schema()).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def stream_event_log(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int = 1,
+    latest_first: bool = False,
+) -> DataFrame:
+    """Streaming tail of the event log (watch mode, S1).
+
+    File source processes files in arrival order; maxFilesPerTrigger is the
+    cursor BatchSize analog (S6). The streaming checkpoint stores which files
+    were consumed = the resume token (S4): restart with the same
+    checkpointLocation resumes exactly after the last committed batch."""
+    return (
+        spark.readStream.schema(event_schema())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("latestFirst", str(latest_first).lower())
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

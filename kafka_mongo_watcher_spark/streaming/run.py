@@ -1,0 +1,74 @@
+"""Structured Streaming wrapper: tail the event log → MERGE per micro-batch.
+
+This is the watch-mode lifecycle (SURVEY.md §3.1) re-expressed:
+  readStream(event log)                    — S1 change-stream tail
+  → transform_events (pandas-UDF pipeline) — F6/F7/F8/F9 Transformer stage
+  → foreachBatch(apply)                    — K1 keyed produce ⇒ LWW MERGE
+  → checkpointLocation                     — S4 resume tokens
+
+Exactly-once: Spark replays an uncommitted epoch with identical data after a
+crash; `LakeTable.merge` fences on (source_id, batch_id) and is itself an
+idempotent LWW union, so re-delivery is a no-op — the Spark analog of the
+reference's drain-before-close at-least-once producer upgraded to
+exactly-once (/root/reference/internal/kafka/client.go:57-63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from kafka_mongo_watcher_spark.operators.envelope import transform_events
+from kafka_mongo_watcher_spark.plans.lake import LakeTable
+from kafka_mongo_watcher_spark.sources.events import stream_event_log
+
+
+def run_replay_stream(
+    spark: SparkSession,
+    *,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    source_id: str = "watch",
+    max_files_per_trigger: int = 1,
+    salted: bool = False,
+    stop_after_batches: int | None = None,
+    metrics_sink: list | None = None,
+) -> list:
+    """Run the streaming apply until the log is drained (availableNow) or
+    until `stop_after_batches` epochs committed (resume-test hook).
+    Returns the per-batch merge stats (lineage + counts)."""
+    stats: list = metrics_sink if metrics_sink is not None else []
+
+    def apply_batch(batch_df, epoch_id: int):
+        table = LakeTable(spark, table_path)  # refresh snapshot pointer
+        prepared = transform_events(batch_df)
+        s = table.merge(
+            prepared, source_id=source_id, batch_id=epoch_id, salted=salted
+        )
+        s["epoch"] = epoch_id
+        stats.append(s)
+
+    events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if stop_after_batches is None:
+            q.awaitTermination()
+        else:
+            import time
+
+            while q.isActive:
+                committed = len([s for s in stats if not s.get("skipped")])
+                if committed >= stop_after_batches:
+                    q.stop()
+                    break
+                time.sleep(0.05)
+            q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return stats
