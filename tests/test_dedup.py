@@ -1,0 +1,54 @@
+"""LWW dedup: window/row_number semantics + salted two-phase equivalence."""
+
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.datagen import generate_events
+from kafka_mongo_watcher_spark.operators.dedup import lww_dedup, lww_dedup_salted
+
+COLS = "partition_id int, offset bigint, op string, repo string, path string, commit_seq bigint, v string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_lww_picks_max_commit_seq(spark):
+    rows = [
+        (0, 1, "insert", "r", "p", 10, "a"),
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 3, "update", "r", "p", 11, "c"),  # out-of-order arrival, older seq
+        (1, 1, "insert", "r2", "p", 5, "d"),
+    ]
+    got = {(r["repo"], r["v"]) for r in lww_dedup(_df(spark, rows)).collect()}
+    assert got == {("r", "b"), ("r2", "d")}
+
+
+def test_delete_beats_earlier_update_within_batch(spark):
+    rows = [
+        (0, 1, "update", "r", "p", 10, "a"),
+        (0, 2, "delete", "r", "p", 11, None),
+    ]
+    got = lww_dedup(_df(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["op"] == "delete"
+
+
+def test_offset_tiebreak(spark):
+    rows = [
+        (0, 1, "update", "r", "p", 10, "lo"),
+        (0, 9, "update", "r", "p", 10, "hi"),
+    ]
+    got = lww_dedup(_df(spark, rows)).collect()
+    assert got[0]["v"] == "hi"
+
+
+def test_salted_equals_unsalted_on_skewed_data(spark):
+    ev = generate_events(spark, 4000, skew_pct=60).filter(F.col("repo").isNotNull())
+    a = {tuple(r) for r in lww_dedup(ev).select("repo", "path", "commit_seq", "commit").collect()}
+    for n_salts in (1, 4, 16):
+        b = {
+            tuple(r)
+            for r in lww_dedup_salted(ev, n_salts=n_salts)
+            .select("repo", "path", "commit_seq", "commit")
+            .collect()
+        }
+        assert a == b, f"salted(n={n_salts}) diverged"
