@@ -1,38 +1,456 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CDC replay on sf0.001: it derives a
+deterministic change-event log from the `events` table, applies it through
+the real engine (pandas-UDF transforms → LWW dedup → bucketed lake MERGE)
+and returns the final table state. `queries()` exposes every implemented
+operator from SURVEY.md §2 plus the training-data pipeline ops;
+`oracle_sql()` gives the DuckDB-equivalent SQL for each.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded/decimal-cast so the driver's value hash is engine-independent.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: derive a CDC change log from `events` and apply it via the engine.
+# op mapping: signup→insert, click/view→update, purchase→replace, error→delete
+# key: (repo, path) derived from user_id; ordering: commit_seq = event_id.
+# ---------------------------------------------------------------------------
+
+_DERIVE_LOG_SQL = """
+SELECT
+  CAST(user_id % 8 AS INT)                    AS partition_id,
+  CAST(event_id AS BIGINT)                    AS commit_seq,
+  CASE event_type WHEN 'signup' THEN 'insert'
+                  WHEN 'purchase' THEN 'replace'
+                  WHEN 'error' THEN 'delete'
+                  ELSE 'update' END           AS op,
+  CONCAT('org-', CAST(user_id % 20 AS STRING),
+         '/repo-', CAST(user_id % 7 AS STRING)) AS repo,
+  CONCAT('src/file_', CAST(user_id AS STRING), '_', CAST(event_id % 25 AS STRING), '.py') AS path,
+  SUBSTRING(SHA2(CONCAT(CAST(event_id AS STRING), ':', event_type), 256), 1, 40) AS commit,
+  event_type                                  AS lang,
+  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw,
+  CAST(event_id AS BIGINT)                    AS offset
+FROM events
+"""
+
+
+def _cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_entry_"), n_buckets=16
+    )
+    table.merge(transform_events(log), source_id="entry", batch_id=0)
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("commit_seq").alias("commit_seq"),
+    )
+
+
+# DuckDB oracle for the same final state: LWW per key, delete wins removal.
+# Content normalization reduces to appending one '\n' here because props
+# strings contain no CR/LF/trailing spaces (see functions/content.py).
+_CDC_APPLY_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log
+)
+SELECT repo, path, commit, lang,
+       sha256(content_raw || chr(10)) AS content_sha256,
+       commit_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _cdc_apply_final_state(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle pairs
+# ---------------------------------------------------------------------------
+
+def _q(sql_spark: str, tables: tuple[str, ...]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, *tables)
+        return spark.sql(sql_spark)
+
+    return run
+
+
+# -- CDC operators over the events stream table ----------------------------
+
+_SPARK_SQL: dict[str, tuple[str, tuple[str, ...]]] = {}
+_DUCK_SQL: dict[str, str] = {}
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str, tables: tuple[str, ...] = ("events",)):
+    _SPARK_SQL[name] = (spark_sql, tables)
+    _DUCK_SQL[name] = duck_sql
+
+
+# U2-analog op-type filter (Filter.js:62-66)
+_pair(
+    "cdc_op_filter",
+    "SELECT event_id, user_id, event_type, CAST(round(value, 3) AS DOUBLE) AS value_r "
+    "FROM events WHERE event_type = 'error'",
+    "SELECT event_id, user_id, event_type, CAST(round(value, 3) AS DOUBLE) AS value_r "
+    "FROM events WHERE event_type = 'error'",
+)
+
+# U1-analog text search (Filter.js:49-61)
+_pair(
+    "cdc_text_search",
+    "SELECT event_id, user_id, props FROM events "
+    "WHERE props LIKE '%\"k\": 8%' OR CAST(user_id AS STRING) LIKE '%42%'",
+    "SELECT event_id, user_id, props FROM events "
+    "WHERE props LIKE '%\"k\": 8%' OR CAST(user_id AS VARCHAR) LIKE '%42%'",
+)
+
+# U3-analog keep-last-N (App.js:26,48)
+_pair(
+    "cdc_keep_last_n",
+    "SELECT event_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us FROM events "
+    "ORDER BY ts DESC, event_id DESC LIMIT 100",
+    "SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events "
+    "ORDER BY ts DESC, event_id DESC LIMIT 100",
+)
+
+# LWW dedup: latest event per key (north_star window/row_number)
+_pair(
+    "cdc_lww_latest",
+    "SELECT user_id, event_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+    "  FROM events) WHERE rn = 1",
+    "SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+    "  FROM events) t WHERE rn = 1",
+)
+
+# F4-analog insert-envelope projection (replay_producer.go:18-39)
+_pair(
+    "cdc_insert_envelope",
+    "SELECT 'insert' AS op, CAST(user_id AS STRING) AS doc_key, "
+    "CAST(event_id AS BIGINT) AS offset, unix_micros(CAST(ts AS TIMESTAMP)) AS cluster_time_us, "
+    "event_type, props AS full_document FROM events",
+    "SELECT 'insert' AS op, CAST(user_id AS VARCHAR) AS doc_key, "
+    "CAST(event_id AS BIGINT) AS offset, epoch_us(ts) AS cluster_time_us, "
+    "event_type, props AS full_document FROM events",
+)
+
+# O2-analog per-partition lineage counters (metrics/kafka.go:77-90)
+_pair(
+    "cdc_partition_lineage",
+    "SELECT CAST(user_id % 8 AS INT) AS partition_id, COUNT(*) AS events_n, "
+    "MAX(event_id) AS max_offset, MAX(unix_micros(CAST(ts AS TIMESTAMP))) AS max_ts_us "
+    "FROM events GROUP BY user_id % 8",
+    "SELECT CAST(user_id % 8 AS INT) AS partition_id, COUNT(*) AS events_n, "
+    "MAX(event_id) AS max_offset, MAX(epoch_us(ts)) AS max_ts_us "
+    "FROM events GROUP BY user_id % 8",
+)
+
+# S5-analog start-at-delay: now-Δ start position (service/mongo.go:68-82)
+_pair(
+    "cdc_start_at_delay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE ts >= (SELECT MAX(ts) - INTERVAL 6 HOUR FROM events)",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE ts >= (SELECT MAX(ts) - INTERVAL 6 HOUR FROM events)",
+)
+
+# S4-analog resume-after-token: suffix after a per-partition offset
+_pair(
+    "cdc_resume_after_token",
+    "SELECT CAST(user_id % 8 AS INT) AS partition_id, event_id, event_type "
+    "FROM events WHERE event_id > 9000",
+    "SELECT CAST(user_id % 8 AS INT) AS partition_id, event_id, event_type "
+    "FROM events WHERE event_id > 9000",
+)
+
+# F10-analog update-vs-insert payload selection (debugger.go:33-37)
+_pair(
+    "cdc_update_vs_insert_payload",
+    "SELECT event_id, CASE WHEN event_type IN ('click','view') THEN props "
+    "ELSE event_type END AS payload FROM events",
+    "SELECT event_id, CASE WHEN event_type IN ('click','view') THEN props "
+    "ELSE event_type END AS payload FROM events",
+)
+
+# produce counters by op (client_metric.go:36-47)
+_pair(
+    "cdc_counts_by_op",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS value_sum "
+    "FROM events GROUP BY event_type",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS value_sum "
+    "FROM events GROUP BY event_type",
+)
+
+# -- training-data pipeline ops over documents ------------------------------
+
+_pair(
+    "dedup_exact",
+    "SELECT sha2(text, 256) AS text_sha, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY sha2(text, 256)",
+    "SELECT sha256(text) AS text_sha, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY sha256(text)",
+    ("documents",),
+)
+
+_pair(
+    "doc_fingerprint",
+    "SELECT doc_id, sha2(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 256) AS fingerprint "
+    "FROM documents",
+    "SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
+    "FROM documents",
+    ("documents",),
+)
+
+_pair(
+    "text_token_count",
+    "SELECT doc_id, size(split(text, ' ')) AS ws_tokens, "
+    "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_ish_tokens "
+    "FROM documents",
+    "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+    "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens "
+    "FROM documents",
+    ("documents",),
+)
+
+_STOP = "'the','a','and','of','to','in'"
+_pair(
+    "text_quality_score",
+    f"SELECT doc_id, length(text) AS n_chars_calc, size(split(text, ' ')) AS n_tokens, "
+    f"CAST(round(length(replace(text, ' ', '')) / CAST(size(split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS avg_token_len, "
+    f"CAST(round(size(filter(split(text, ' '), x -> x IN ({_STOP}))) / CAST(size(split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS stopword_ratio "
+    f"FROM documents",
+    f"SELECT doc_id, length(text) AS n_chars_calc, len(string_split(text, ' ')) AS n_tokens, "
+    f"CAST(round(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS avg_token_len, "
+    f"CAST(round(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP}))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS stopword_ratio "
+    f"FROM documents",
+    ("documents",),
+)
+
+# n-gram-heuristic language id: marker-token hit counts, argmax with fixed
+# tiebreak order (deterministic in both engines)
+_MARKERS = {
+    "en": "'the','and','key','table'",
+    "es": "'query','data','scan','merge'",
+    "de": "'window','group','sort','batch'",
+    "fr": "'join','filter','line','order'",
+    "zh": "'spark','stream','hash','agg'",
+}
+
+
+def _lang_id_sql(split_fn: str, len_fn: str, filt: str) -> str:
+    scores = ", ".join(
+        f"{len_fn}({filt}({split_fn}(text, ' '), x -> x IN ({toks}))) AS hits_{lang}"
+        for lang, toks in _MARKERS.items()
+    )
+    order = ", ".join(f"hits_{l} DESC" for l in _MARKERS)
+    langs_arr = ", ".join(f"'{l}'" for l in _MARKERS)
+    hits_arr = ", ".join(f"hits_{l}" for l in _MARKERS)
+    return (
+        f"WITH s AS (SELECT doc_id, lang AS label, {scores} FROM documents) "
+        f"SELECT doc_id, label, {hits_arr}, "
+        f"CASE GREATEST({hits_arr}) "
+        + " ".join(f"WHEN hits_{l} THEN '{l}'" for l in _MARKERS)
+        + " END AS predicted FROM s"
+    )
+
+
+_pair(
+    "text_lang_id",
+    _lang_id_sql("split", "size", "filter"),
+    _lang_id_sql("string_split", "len", "list_filter"),
+    ("documents",),
+)
+
+# unigram-Jaccard near-dup with (lang, n_chars) blocking
+_pair(
+    "dedup_ngram_jaccard",
+    "WITH w AS (SELECT doc_id, lang, n_chars, array_distinct(split(text, ' ')) AS toks FROM documents) "
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    "CAST(round(size(array_intersect(a.toks, b.toks)) / CAST(size(array_union(a.toks, b.toks)) AS DOUBLE), 4) AS DOUBLE) AS jaccard "
+    "FROM w a JOIN w b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id "
+    "WHERE size(array_intersect(a.toks, b.toks)) / CAST(size(array_union(a.toks, b.toks)) AS DOUBLE) >= 0.5",
+    "WITH w AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS toks FROM documents) "
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    "CAST(round(len(list_intersect(a.toks, b.toks)) / CAST((len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS DOUBLE), 4) AS DOUBLE) AS jaccard "
+    "FROM w a JOIN w b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.toks, b.toks)) / CAST((len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS DOUBLE) >= 0.5",
+    ("documents",),
+)
+
+# MinHash signatures (k=6 hash permutations via md5(token||salt)) — the
+# signature table that LSH banding builds on
+_MH = 6
+
+
+def _minhash_sql(split_fn: str, transform_fn: str, min_fn: str, concat: str, distinct_fn: str) -> str:
+    sigs = ", ".join(
+        f"{min_fn}({transform_fn}({distinct_fn}({split_fn}(text, ' ')), x -> md5(x {concat} '#{i}'))) AS mh_{i}"
+        for i in range(_MH)
+    )
+    return f"SELECT doc_id, {sigs} FROM documents"
+
+
+_pair(
+    "dedup_minhash_signature",
+    _minhash_sql("split", "transform", "array_min", "||", "array_distinct"),
+    _minhash_sql("string_split", "list_transform", "list_min", "||", "list_distinct"),
+    ("documents",),
+)
+
+# MinHash-LSH candidate pairs: band size 1 (share any minhash) → candidates,
+# scored by signature agreement (estimated Jaccard)
+def _mh_lsh_sql(sig_sql: str) -> str:
+    eqs = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH))
+    anyeq = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH))
+    return (
+        f"WITH sig AS ({sig_sql}) "
+        f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        f"CAST(round(({eqs}) / {float(_MH)}, 4) AS DOUBLE) AS est_jaccard "
+        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({anyeq}) "
+        f"WHERE ({eqs}) >= {_MH - 1}"
+    )
+
+
+_pair(
+    "dedup_minhash_lsh",
+    _mh_lsh_sql(_minhash_sql("split", "transform", "array_min", "||", "array_distinct")),
+    _mh_lsh_sql(_minhash_sql("string_split", "list_transform", "list_min", "||", "list_distinct")),
+    ("documents",),
+)
+
+# -- embedding similarity ----------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM_SPARK = "sqrt(aggregate({v}.embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+_DOT_DUCK = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+_NORM_DUCK = "sqrt(list_dot_product({v}.embedding::DOUBLE[], {v}.embedding::DOUBLE[]))"
+
+
+def _cos_spark() -> str:
+    return f"round({_DOT_SPARK} / ({_NORM_SPARK.format(v='a')} * {_NORM_SPARK.format(v='b')}), 3)"
+
+
+def _cos_duck() -> str:
+    return f"round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 3)"
+
+
+# brute-force cosine top-k (k=5) for query vectors vec_id<3
+_pair(
+    "ann_cosine_topk",
+    f"WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_cos_spark()} AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.vec_id < 3 AND b.vec_id >= 3) "
+    f"SELECT query_id, cand_id, CAST(cos_sim AS DOUBLE) AS cos_sim FROM ("
+    f"SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) rn FROM sims) "
+    f"WHERE rn <= 5",
+    f"WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_cos_duck()} AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.vec_id < 3 AND b.vec_id >= 3) "
+    f"SELECT query_id, cand_id, CAST(cos_sim AS DOUBLE) AS cos_sim FROM ("
+    f"SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) rn FROM sims) t "
+    f"WHERE rn <= 5",
+    ("embeddings",),
+)
+
+# near-duplicate pairs, label-blocked (IVF-style bucketing by label)
+_pair(
+    "embedding_near_dup",
+    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST({_cos_spark()} AS DOUBLE) AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+    f"WHERE {_cos_spark()} >= 0.35",
+    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST({_cos_duck()} AS DOUBLE) AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+    f"WHERE {_cos_duck()} >= 0.35",
+    ("embeddings",),
+)
+
+# -- generic user pipelines (CUSTOM_PIPELINE $match/$group analog) -----------
+
+_pair(
+    "pipeline_group_agg",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "COUNT(*) AS n_rows "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "COUNT(*) AS n_rows "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+    ("lineitem",),
+)
+
+_pair(
+    "pipeline_join_agg",
+    "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment",
+    "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment",
+    ("orders", "customer"),
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "cdc_apply_final_state": _cdc_apply_final_state,
+    }
+    for name, (sql, tables) in _SPARK_SQL.items():
+        out[name] = _q(sql, tables)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {"cdc_apply_final_state": _CDC_APPLY_ORACLE}
+    out.update(_DUCK_SQL)
+    return out
