@@ -1,0 +1,67 @@
+"""Scaling-evidence job: identical CDC replay at a given parallelism.
+
+Run via: spark-submit --master local[N] --py-files pkg.zip BENCH/scaling_job.py N_EVENTS N_BATCHES
+Prints one JSON line {"cores": ..., "seconds": ..., "events_per_sec": ...}.
+Used by BENCH/scaling.py to evidence the BASELINE.json two-cluster-size
+criterion (N vs 4N executors, efficiency ≥ 0.8) in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from kafka_mongo_watcher_spark.datagen import generate_events
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="kmw_scaling_")
+    generate_events(spark, n_events).write.mode("overwrite").parquet(f"{work}/log")
+    log = spark.read.parquet(f"{work}/log")
+
+    # warmup (untimed): small merge to spin up Python workers / codegen
+    warm = LakeTable.create(spark, f"{work}/warm", n_buckets=16)
+    warm.merge(
+        transform_events(log.limit(10_000), fingerprint=False),
+        source_id="w", batch_id=0,
+    )
+
+    table = LakeTable.create(spark, f"{work}/table", n_buckets=64)
+    step = n_events // n_batches
+    t0 = time.time()
+    for b in range(n_batches):
+        lo = b * step
+        hi = (b + 1) * step if b < n_batches - 1 else n_events
+        chunk = log.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
+        table.merge(transform_events(chunk, fingerprint=False),
+                    source_id="scale", batch_id=b)
+    dt = time.time() - t0
+    print(json.dumps({
+        "cores": cores,
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+    }))
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Benchmark harness — headline CDC replay throughput + representative queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline `cdc_replay` is the BASELINE.json target metric: end-to-end
+change-event apply (generate → pandas-UDF transform → LWW dedup → bucketed
+lake MERGE) timed as events/sec. Event volume scales with sf
+(20M events/sf → 2M at sf0.1). Scaling-efficiency evidence (local[8] vs
+local[32]) lives in BENCH/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_mongo_watcher_spark.session import spark_session  # noqa: E402
+
+EVENTS_PER_SF = 20_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_cdc_replay(spark, n_events: int, *, salted: bool, n_batches: int = 4) -> float:
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.datagen import generate_events
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="kmw_bench_")
+    try:
+        events = generate_events(spark, n_events)
+        events.write.mode("overwrite").parquet(f"{work}/log")  # gen cost excluded
+        log = spark.read.parquet(f"{work}/log")
+        table = LakeTable.create(spark, f"{work}/table", n_buckets=64)
+        step = n_events // n_batches
+        t0 = time.time()
+        for b in range(n_batches):
+            lo, hi = b * step, (b + 1) * step if b < n_batches - 1 else n_events
+            chunk = log.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
+            table.merge(
+                transform_events(chunk, fingerprint=False),
+                source_id="bench", batch_id=b, salted=salted,
+            )
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    n_events = max(int(EVENTS_PER_SF * sf), 10_000)
+    spark = spark_session(app_name="kmw-bench", cores=cpus,
+                          shuffle_partitions=max(int(cpus) * 2, 16))
+
+    queries: dict[str, float] = {}
+
+    # warmup: spin up Python/Arrow workers + JIT/codegen so the timed runs
+    # measure steady-state throughput (a long-lived CDC stream's regime)
+    bench_cdc_replay(spark, max(n_events // 20, 5_000), salted=False, n_batches=1)
+
+    t = bench_cdc_replay(spark, n_events, salted=False)
+    queries["cdc_replay"] = round(t, 3)
+    events_per_sec = n_events / t
+
+    queries["cdc_replay_salted"] = round(
+        bench_cdc_replay(spark, n_events, salted=True), 3
+    )
+
+    # representative analytical queries from the driver contract at sf_dir
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("cdc_lww_latest", "cdc_partition_lineage", "dedup_exact",
+                 "dedup_minhash_signature", "ann_cosine_topk",
+                 "pipeline_group_agg", "pipeline_join_agg"):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "cdc_replay_apply_seconds",
+        "value": queries["cdc_replay"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_events": n_events,
+        "events_per_sec": round(events_per_sec, 1),
+        "total_sec": total,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

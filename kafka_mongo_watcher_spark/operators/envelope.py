@@ -41,18 +41,35 @@ def build_insert_envelope(snapshot: DataFrame, *, partition_id: int = 0) -> Data
     ).withColumn("commit_seq", F.col("offset") - F.lit(1))
 
 
+def fingerprint_content(df: DataFrame) -> DataFrame:
+    """content_raw → (content, content_sha256) via ONE vectorized pandas UDF
+    (the F7 canonical-serialization analog)."""
+    nf = normalize_and_fingerprint(F.col("content_raw"))
+    return (
+        df.withColumn("_nf", nf)
+        .withColumn("content", F.col("_nf.content"))
+        .withColumn("content_sha256", F.col("_nf.content_sha256"))
+        .drop("_nf", "content_raw")
+    )
+
+
 def transform_events(
     events: DataFrame,
     *,
     app_name: str = "kmw-spark",
     with_lineage: bool = True,
     drop_malformed: bool = True,
+    fingerprint: bool = True,
 ) -> DataFrame:
     """Event → apply-ready record (the reference Transformer, F6+F7+F8+F9).
 
     - key validation: null/empty repo or path ⇒ row dropped, batch survives
       (transformer.go:19-23 skip semantics; counted by caller's observe()).
     - normalization + sha256 fingerprint via ONE vectorized pandas UDF.
+      Pass fingerprint=False to defer it: LakeTable.merge then fingerprints
+      only the post-dedup winners — at scale this cuts Python-side work by
+      the batch's key-collision factor while keeping per-event transforms
+      vectorized.
     - lineage column = reference's x-tracing header analog (app, commit_seq).
     """
     df = events
@@ -63,13 +80,8 @@ def transform_events(
             & F.col("path").isNotNull()
             & (F.col("path") != "")
         )
-    nf = normalize_and_fingerprint(F.col("content_raw"))
-    df = (
-        df.withColumn("_nf", nf)
-        .withColumn("content", F.col("_nf.content"))
-        .withColumn("content_sha256", F.col("_nf.content_sha256"))
-        .drop("_nf", "content_raw")
-    )
+    if fingerprint:
+        df = fingerprint_content(df)
     if with_lineage:
         df = df.withColumn(
             "lineage",

@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,11 +187,20 @@ class LakeTable:
         if batch_id is not None and applied.get(source_id, -1) >= batch_id:
             return {"skipped": True, "version": self.version, "batch_id": batch_id}
 
+        # -- intra-batch LWW dedup (window/row_number; salted 2-phase for skew) --
+        # Dedup runs BEFORE the pandas-UDF fingerprint: only winner rows pay
+        # the Python roundtrip (collision factor × less Arrow traffic).
+        winners = lww_dedup_salted(batch, n_salts=n_salts) if salted else lww_dedup(batch)
+        if "content_raw" in winners.columns and "content_sha256" not in winners.columns:
+            from kafka_mongo_watcher_spark.operators.envelope import fingerprint_content
+
+            winners = fingerprint_content(winners)
+
         # -- schema evolution: reconcile batch payload columns vs manifest --
-        internal_names = {n for n, _ in INTERNAL_FIELDS} | {"op"}
+        internal_names = {n for n, _ in INTERNAL_FIELDS} | {"op", "lineage"}
         batch_payload = [
             (f.name, f.dataType.simpleString())
-            for f in batch.schema.fields
+            for f in winners.schema.fields
             if f.name not in internal_names
         ]
         user_schema = [tuple(x) for x in self.manifest["user_schema"]]
@@ -200,11 +209,8 @@ class LakeTable:
         if new_cols:
             user_schema = user_schema + new_cols  # ADD COLUMN analog
         for n, t in user_schema:  # union-by-name: fill columns the batch lacks
-            if n not in batch.columns:
-                batch = batch.withColumn(n, F.lit(None).cast(t))
-
-        # -- intra-batch LWW dedup (window/row_number; salted 2-phase for skew) --
-        winners = lww_dedup_salted(batch, n_salts=n_salts) if salted else lww_dedup(batch)
+            if n not in winners.columns:
+                winners = winners.withColumn(n, F.lit(None).cast(t))
         out_cols = [F.col(n).cast(t).alias(n) for n, t in user_schema] + [
             F.col("commit_seq").cast("bigint").alias("commit_seq"),
             F.col("offset").cast("bigint").alias("offset"),
@@ -239,26 +245,75 @@ class LakeTable:
             ] + [F.col("_bucket")]
             current = current.select(*cur_sel)
 
-            src = winners.withColumn("_src", F.lit(1))
-            tgt = current.withColumn("_src", F.lit(0))
-            # LWW across current-vs-incoming: incoming wins ties (idempotent
-            # re-apply of the same event rewrites identical content).
-            w = Window.partitionBy(*KEY_COLS).orderBy(
-                F.col("commit_seq").desc(), F.col("offset").desc(), F.col("_src").desc()
+            # LWW across current-vs-incoming, decomposed into two
+            # broadcast-joinable passes (Spark cannot broadcast a full-outer
+            # join). winners is one row per key post-dedup, so:
+            #   kept    = current rows whose key is absent from the batch or
+            #             strictly newer than the batch row (left-outer join
+            #             against the BROADCAST batch key-stats);
+            #   win_out = batch winners that beat (>= tie: idempotent
+            #             re-apply) or miss the current row, decided against
+            #             the key-stats of matching current rows only
+            #             (left-semi, again broadcast).
+            # The big `current` side is scanned and rewritten but NEVER
+            # shuffled — no exchange of table data at any batch size. The two
+            # halves have disjoint keys and are written as separate files of
+            # the same snapshot. Broadcast is skipped for huge batches
+            # (initial snapshot loads): Catalyst then picks SMJ on the same
+            # plan.
+            data_cols = [n for n, _ in full_fields]
+            stat_cols = list(KEY_COLS) + ["commit_seq", "offset"]
+            n_winners = winners.count()  # cached; also the merged-rows stat
+            small = n_winners <= int(
+                self.spark.conf.get("kmw.merge.broadcastMaxWinners", "4000000")
             )
-            merged = (
-                tgt.unionByName(src)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_src")
+            bcast = F.broadcast if small else (lambda df: df)
+
+            src_stats = bcast(
+                winners.select(*[F.col(c).alias(f"_s_{c}") for c in stat_cols])
+            )
+            tgt_newer = F.struct(F.col("commit_seq"), F.col("offset")) > F.struct(
+                F.col("_s_commit_seq"), F.col("_s_offset")
+            )
+            kept = (
+                current.join(
+                    src_stats,
+                    [F.col(k) == F.col(f"_s_{k}") for k in KEY_COLS],
+                    "left_outer",
+                )
+                .where(F.col(f"_s_{KEY_COLS[0]}").isNull() | tgt_newer)
+                .select(*data_cols, "_bucket")
+            )
+
+            cur_stats = current.select(*stat_cols).join(
+                bcast(winners.select(*KEY_COLS)), list(KEY_COLS), "left_semi"
+            )
+            cur_stats = bcast(
+                cur_stats.select(*[F.col(c).alias(f"_t_{c}") for c in stat_cols])
+            )
+            src_wins = F.col(f"_t_{KEY_COLS[0]}").isNull() | (
+                F.struct(F.col("commit_seq"), F.col("offset"))
+                >= F.struct(F.col("_t_commit_seq"), F.col("_t_offset"))
+            )
+            win_out = (
+                winners.join(
+                    cur_stats,
+                    [F.col(k) == F.col(f"_t_{k}") for k in KEY_COLS],
+                    "left_outer",
+                )
+                .where(src_wins)
+                .select(*data_cols, "_bucket")
             )
 
             new_version = self.version + 1
             rel_dir = os.path.join("data", f"v{new_version:08d}")
             out_dir = os.path.join(self.path, rel_dir)
+            # kept: written with the scan's own partitioning (no exchange);
+            # win_out: one shuffle of the small batch side to align buckets.
+            kept.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
             (
-                merged.repartition(max(len(touched), 1), "_bucket")
-                .write.mode("overwrite")
+                win_out.repartition(max(min(len(touched), 32), 1), "_bucket")
+                .write.mode("append")
                 .partitionBy("_bucket")
                 .parquet(out_dir)
             )
@@ -304,6 +359,8 @@ class LakeTable:
             "version": new_version,
             "touched_buckets": len(touched),
             "files_written": written,
+            "merged_rows": n_winners,
+            "broadcast_apply": small,
             "lineage": lineage,
         }
 

@@ -42,6 +42,15 @@ def spark_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("KMW_DRIVER_MEMORY", "16g"))
     )
+    # Single-host sandbox: shuffle + spill through one disk serializes at
+    # high thread counts; use RAM-backed local dirs when available. On a
+    # real cluster this is per-node NVMe and spark.local.dir is left alone.
+    shm = os.environ.get("KMW_LOCAL_DIR", "/dev/shm/kmw-spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

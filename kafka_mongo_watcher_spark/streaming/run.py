@@ -41,7 +41,7 @@ def run_replay_stream(
 
     def apply_batch(batch_df, epoch_id: int):
         table = LakeTable(spark, table_path)  # refresh snapshot pointer
-        prepared = transform_events(batch_df)
+        prepared = transform_events(batch_df, fingerprint=False)
         s = table.merge(
             prepared, source_id=source_id, batch_id=epoch_id, salted=salted
         )
