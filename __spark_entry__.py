@@ -441,9 +441,84 @@ _pair(
 )
 
 
+# -- library-backed queries (DataFrame API, not SQL strings) -----------------
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints via the library operator (pure Catalyst
+    higher-order functions — kafka_mongo_watcher_spark/operators/dedupe_docs.py)."""
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import simhash
+
+    _register(spark, sf_dir, "documents")
+    return simhash(spark.table("documents"), n_bits=32)
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), "
+        "h AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h FROM tok), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v"
+    )
+
+
+def _media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stub pipeline: text bytes as opaque binary payload →
+    mapInPandas decode stub → typed metadata (functions/multimodal.py).
+    The stub derives metadata from sha256(payload), so a DuckDB oracle can
+    reproduce it from hex substrings — the plumbing is verified end-to-end."""
+    from kafka_mongo_watcher_spark.functions.multimodal import decode_media
+
+    _register(spark, sf_dir, "documents")
+    media = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_media(media).select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+    )
+
+
+_MEDIA_DECODE_ORACLE = """
+WITH h AS (SELECT doc_id, sha256(text) AS x FROM documents)
+SELECT doc_id,
+  ['image','audio','video'][1 + CAST(('0x' || substring(x, 1, 2)) AS INT) % 3] AS media_type,
+  CAST(64 + CAST(('0x' || substring(x, 3, 2)) AS INT) * 8 AS INT) AS width,
+  CAST(64 + CAST(('0x' || substring(x, 5, 2)) AS INT) * 8 AS INT) AS height,
+  CAST(1 + CAST(('0x' || substring(x, 7, 2)) AS INT) % 4 AS INT) AS n_channels,
+  CAST(CAST(('0x' || substring(x, 9, 6)) AS BIGINT) % 600000 AS INT) AS duration_ms,
+  ['raw','jpegish','wavish','h264ish'][1 + CAST(('0x' || substring(x, 15, 2)) AS INT) % 4] AS codec
+FROM h
+"""
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH (library op;
+    approximate by construction → rows-only driver check; recall vs brute
+    force is asserted in tests/test_training_ops.py)."""
+    from kafka_mongo_watcher_spark.operators.similarity import lsh_topk
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 3), emb, k=5, dim=64).select(
+        "query_id", "cand_id", F.round("cos_sim", 3).alias("cos_sim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
+        "dedup_simhash": _dedup_simhash,
+        "media_decode_meta": _media_decode_meta,
+        "ann_lsh_topk": _ann_lsh_topk,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -451,6 +526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {"cdc_apply_final_state": _CDC_APPLY_ORACLE}
+    out = {
+        "cdc_apply_final_state": _CDC_APPLY_ORACLE,
+        "dedup_simhash": _simhash_oracle(),
+        "media_decode_meta": _MEDIA_DECODE_ORACLE,
+        # ann_lsh_topk: intentionally no oracle (approximate operator)
+    }
     out.update(_DUCK_SQL)
     return out

@@ -1,0 +1,81 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+Catalyst expressions (no UDFs): language-ID heuristic, quality scoring,
+token counting, document fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MARKERS = {
+    "en": ["the", "and", "key", "table"],
+    "es": ["query", "data", "scan", "merge"],
+    "de": ["window", "group", "sort", "batch"],
+    "fr": ["join", "filter", "line", "order"],
+    "zh": ["spark", "stream", "hash", "agg"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def _toks(text_col):
+    return F.split(text_col, " ")
+
+
+def lang_id(df: DataFrame, *, text_col: str = "text", markers=None) -> DataFrame:
+    """n-gram-heuristic language ID: marker-token hit counts per language,
+    argmax with deterministic tiebreak (marker-dict order)."""
+    markers = markers or DEFAULT_MARKERS
+    toks = _toks(F.col(text_col))
+    out = df
+    for lang, words in markers.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        out = out.withColumn(f"hits_{lang}", hits)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in markers])
+    pred = None
+    for lang in reversed(list(markers)):
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred) if pred is not None else F.lit(lang)
+    return out.withColumn("predicted", pred)
+
+
+def quality_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio quality features + a composite score
+    in [0,1] (heuristic gate for corpus filtering)."""
+    toks = _toks(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    avg_tok = (n_chars - n_tokens + 1) / n_tokens.cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / n_tokens.cast("double")
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct / n_chars.cast("double") * 10, F.lit(1.0))) * 0.3
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        punct.alias("n_punct"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — the pre-tokenizer approximation)."""
+    return df.select(
+        "*",
+        F.size(_toks(F.col(text_col))).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lower, collapse whitespace, trim,
+    sha256 — the batch-dedup key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select("*", F.sha2(norm, 256).alias("fingerprint"))

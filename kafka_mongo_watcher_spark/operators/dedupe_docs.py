@@ -1,0 +1,191 @@
+"""Document-level deduplication family for training-data pipelines.
+
+All operators are pure Catalyst expression trees (JVM-side, codegen'd) over
+a documents DataFrame (id_col, text_col): exact hash dedup, MinHash
+signatures + LSH banding, SimHash, and n-gram Jaccard verification. The SQL
+twins live in __spark_entry__ with DuckDB oracles; these are the library
+API used by pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    return F.array_distinct(F.split(text_col, " "))
+
+
+def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc per exact content hash (map-side combine via min agg)."""
+    return (
+        df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("_sha", "text_sha")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, *, k: int = 6, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k MinHash values per doc: min over md5(token || '#' || i). Pure
+    projection — no shuffle."""
+    toks = _tokens(F.col(text_col))
+    cols = [
+        F.array_min(F.transform(toks, lambda t: F.md5(F.concat(t, F.lit(f"#{i}"))))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    k: int = 6,
+    bands: int | None = None,
+    min_agreement: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over MinHash signatures.
+
+    Explode signatures to (band, value) rows, equi-join on the band bucket —
+    a hash join keyed on (band_idx, value), never an all-pairs cross — then
+    score candidates by full-signature agreement (estimated Jaccard)."""
+    k_bands = bands or k
+    thresh = min_agreement if min_agreement is not None else (k - 1)
+    sig = minhash_signature(df, k=k, id_col=id_col, text_col=text_col)
+    sig_struct = F.struct(*[F.col(f"mh_{i}") for i in range(k)])
+    exploded = sig.select(
+        F.col(id_col),
+        sig_struct.alias("_sig"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("val"))
+                for i in range(k_bands)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "_sig", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+
+    a = exploded.select(
+        F.col(id_col).alias("a_id"), F.col("_sig").alias("a_sig"), "band", "val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"), "band", "val"
+    )
+    agree = sum(
+        F.when(F.col(f"a_sig.mh_{i}") == F.col(f"b_sig.mh_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", agree.alias("agreement"))
+        .distinct()
+        .where(F.col("agreement") >= thresh)
+        .withColumn("est_jaccard", F.round(F.col("agreement") / F.lit(float(k)), 4))
+        .drop("agreement")
+    )
+
+
+def simhash(
+    df: DataFrame, *, n_bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash fingerprint: per token, a 32-bit hash votes ±1 on each bit;
+    the sign of each bit's sum forms the fingerprint. Entirely
+    higher-order-function expressions — one pass, no explode, no shuffle."""
+    toks = _tokens(F.col(text_col))
+    # token -> first 8 md5 hex chars -> 32-bit int
+    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    def _vote(i):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(tok_hash, F.lit(0), _vote(i)) for i in range(n_bits)]
+    fp = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        fp = fp + F.when(v > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, using the standard
+    block trick: split the fingerprint into n_blocks; any pair within
+    distance d < n_blocks must agree exactly on ≥1 block → equi-join per
+    block, then verify with bit_count(xor)."""
+    fps = simhash(df, n_bits=n_bits, id_col=id_col, text_col=text_col)
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "simhash", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    a = blocks.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_fp"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_fp"), "blk", "val")
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word n-gram Jaccard over candidate pairs (optionally blocked on
+    block_cols to bound the join)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("_g"))
+    a = g.select(F.col(id_col).alias("a_id"), F.col("_g").alias("_ga"), *block_cols)
+    b = g.select(F.col(id_col).alias("b_id"), F.col("_g").alias("_gb"), *block_cols)
+    joined = a.crossJoin(b) if not block_cols else a.join(b, list(block_cols))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = inter / union.cast("double")
+    return (
+        joined.where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs: drop every doc that appears as the larger id
+    of a pair (keeper = smallest id in each connected pair — single-pass
+    approximation of the union-find canonicalization)."""
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,181 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+multimodal plumbing, text analysis. Runs on the driver-provided testdata
+(sf0.001) plus synthetic binary fixtures."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+from kafka_mongo_watcher_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from kafka_mongo_watcher_spark.operators.dedupe_docs import (
+    exact_dedup,
+    keep_canonical,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from kafka_mongo_watcher_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---- dedup family ----------------------------------------------------------
+
+def test_exact_dedup_counts(spark, docs):
+    out = exact_dedup(docs)
+    assert out.agg(F.sum("n_copies")).first()[0] == docs.count()
+    # injected duplicate collapses
+    dup = docs.limit(1).union(docs.limit(1))
+    assert exact_dedup(dup).count() == 1
+
+
+def test_minhash_contains_and_lsh_finds_duplicates(spark, docs):
+    sig = minhash_signature(docs, k=6)
+    assert sig.columns == ["doc_id"] + [f"mh_{i}" for i in range(6)]
+    # identical docs must share the full signature and surface as a pair
+    d0 = docs.filter(F.col("doc_id") == 0)
+    dup = docs.union(d0.withColumn("doc_id", F.lit(100000)))
+    pairs = minhash_lsh_pairs(dup, k=6).filter(
+        (F.col("a_id") == 0) & (F.col("b_id") == 100000)
+    )
+    row = pairs.collect()
+    assert len(row) == 1 and row[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_identical_and_blocktrick(spark, docs):
+    fps = simhash(docs.limit(50))
+    assert fps.count() == 50
+    d0 = docs.filter(F.col("doc_id") == 0)
+    dup = docs.limit(50).union(d0.withColumn("doc_id", F.lit(100000)))
+    near = simhash_near_pairs(dup, max_hamming=0).filter(
+        (F.col("a_id") == 0) & (F.col("b_id") == 100000)
+    )
+    assert near.count() == 1
+
+
+def test_ngram_jaccard_and_canonical(spark, docs):
+    d0 = docs.filter(F.col("doc_id") == 0)
+    dup = docs.limit(30).union(d0.withColumn("doc_id", F.lit(100000)))
+    pairs = ngram_jaccard_pairs(dup, n=3, threshold=0.99)
+    hit = pairs.filter((F.col("a_id") == 0) & (F.col("b_id") == 100000))
+    assert hit.count() == 1
+    kept = keep_canonical(dup, pairs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 100000 not in ids
+
+
+# ---- similarity search ------------------------------------------------------
+
+def test_brute_force_topk_shape_and_selfmatch(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(q, emb, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = max(rows, key=lambda r: r["cos_sim"])
+        assert best["cand_id"] == qid  # self is the nearest neighbor
+        assert abs(best["cos_sim"] - 1.0) < 1e-9
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = lsh_topk(q, emb, k=5, dim=64).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the bucketed path must at least always find the query itself
+    assert all((qid, qid) in approx_set for qid in range(10))
+
+
+# ---- multimodal plumbing ----------------------------------------------------
+
+def test_media_decode_stub_schema_and_nulls(spark):
+    media = synthetic_media(spark, 200)
+    out = decode_media(media)
+    assert "meta" in out.columns
+    rows = out.limit(5).collect()
+    for r in rows:
+        assert r["meta"]["width"] >= 64 and r["meta"]["media_type"] in ("image", "audio", "video")
+    # null payload → null meta, batch survives (decode-error tolerance)
+    with_null = media.withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.lit(None)).otherwise(F.col("payload"))
+    )
+    got = decode_media(with_null).filter(F.col("media_id") == 0).collect()
+    assert got[0]["meta"] is None
+
+
+def test_media_decode_deterministic(spark):
+    media = synthetic_media(spark, 50)
+    a = {r["media_id"]: r["meta"] for r in decode_media(media).collect()}
+    b = {r["media_id"]: r["meta"] for r in decode_media(media).collect()}
+    assert a == b
+
+
+def test_feature_extraction_unit_norm(spark):
+    media = synthetic_media(spark, 100)
+    out = extract_features(media, dim=16).collect()
+    for r in out:
+        v = r["features"]
+        assert len(v) == 16
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+
+
+def test_frame_sampling(spark):
+    media = synthetic_media(spark, 50)
+    out = sample_frames(media, n_frames=4).collect()
+    for r in out:
+        assert len(r["frames"]) == 4
+        assert all(isinstance(f, (bytes, bytearray)) for f in r["frames"])
+
+
+# ---- text analysis ----------------------------------------------------------
+
+def test_lang_id_deterministic_argmax(spark, docs):
+    out = lang_id(docs).select("doc_id", "predicted").collect()
+    assert all(r["predicted"] in ("en", "es", "de", "fr", "zh") for r in out)
+
+
+def test_quality_and_token_counts(spark, docs):
+    q = quality_score(docs).limit(20).collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+    t = token_counts(docs).limit(20).collect()
+    for r in t:
+        assert r["bpe_ish_tokens"] >= r["ws_tokens"] > 0
+
+
+def test_fingerprint_matches_python(spark, docs):
+    row = fingerprint(docs).limit(1).collect()[0]
+    import re
+
+    norm = re.sub(r"\s+", " ", row["text"].lower()).strip()
+    assert row["fingerprint"] == hashlib.sha256(norm.encode()).hexdigest()
