@@ -165,6 +165,24 @@ class LakeTable:
         """User-facing view: user schema only."""
         return self.snapshot().select(*[n for n, _ in self.manifest["user_schema"]])
 
+    def lookup(self, repo: str, path: str) -> DataFrame:
+        """Point read with bucket pruning: the key's bucket is computed
+        driver-side (one LocalTableScan job, no data read), then only that
+        bucket's files are scanned — O(table/n_buckets) instead of a full
+        scan. The Iceberg bucket-transform partition-pruning analog."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(repo), F.lit(path)), F.lit(self.n_buckets)
+                ).cast("int").alias("b")
+            )
+            .first()
+        )
+        return self.read_buckets([row["b"]], include_tombstones=False).filter(
+            (F.col("repo") == repo) & (F.col("path") == path)
+        )
+
     # ---------- merge (the core operator) ----------
 
     def _bucket_expr(self):

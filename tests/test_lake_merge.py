@@ -123,3 +123,15 @@ def test_compact_purges_tombstones_preserves_state(spark, tmp_path):
 def test_empty_table_snapshot(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
     assert t.snapshot().count() == 0
+
+
+def test_lookup_bucket_pruned_point_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=16)
+    rows = [_row("insert", f"r{i}", f"p{i}", i + 1) for i in range(30)]
+    t.merge(_batch(spark, rows), source_id="s", batch_id=0)
+    got = t.lookup("r7", "p7").collect()
+    assert len(got) == 1 and got[0]["commit"] == "commit8"
+    assert t.lookup("nope", "nope").count() == 0
+    # pruning: the scan must touch exactly one bucket's files
+    files = t.lookup("r7", "p7")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryFileIndex(1 paths)" in files or "1 paths" in files
