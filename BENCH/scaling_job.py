@@ -29,7 +29,10 @@ def main():
     from kafka_mongo_watcher_spark.operators.envelope import transform_events
     from kafka_mongo_watcher_spark.plans.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="kmw_scaling_")
+    # RAM-backed workdir: on one host, 32 threads against one disk measure
+    # the disk, not the engine; /dev/shm stands in for per-node NVMe.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="kmw_scaling_", dir=base)
     generate_events(spark, n_events).write.mode("overwrite").parquet(f"{work}/log")
     log = spark.read.parquet(f"{work}/log")
 

@@ -1,0 +1,94 @@
+"""CLI entry point — the single-binary parity of the reference watcher
+(/root/reference/cmd/watcher/main.go:24-51): one process, two modes.
+
+  python -m kafka_mongo_watcher_spark watch  --log-dir L --table T --checkpoint C
+  python -m kafka_mongo_watcher_spark replay --snapshot S --table T
+  python -m kafka_mongo_watcher_spark compact --table T
+
+Also runnable via spark-submit --py-files pkg.zip (module file as the app).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kafka_mongo_watcher_spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    w = sub.add_parser("watch", help="tail the event log, apply per micro-batch (reference watch mode)")
+    w.add_argument("--log-dir", required=True)
+    w.add_argument("--table", required=True)
+    w.add_argument("--checkpoint", required=True)
+    w.add_argument("--source-id", default="watch")
+    w.add_argument("--max-files-per-trigger", type=int, default=1)
+    w.add_argument("--salted", action="store_true", help="two-phase salted LWW for skewed batches")
+    w.add_argument("--metrics-log", default=None)
+
+    r = sub.add_parser("replay", help="snapshot scan -> synthetic inserts -> apply (reference replay mode)")
+    r.add_argument("--snapshot", required=True, help="parquet dir of the base table")
+    r.add_argument("--table", required=True)
+    r.add_argument("--metrics-log", default=None)
+
+    c = sub.add_parser("compact", help="rewrite buckets, purge tombstones")
+    c.add_argument("--table", required=True)
+
+    a = p.parse_args(argv)
+
+    from kafka_mongo_watcher_spark.metrics import MetricsLog
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+    from kafka_mongo_watcher_spark.session import spark_session
+
+    spark = spark_session(app_name=f"kmw-{a.mode}")
+    mlog = MetricsLog(a.metrics_log) if getattr(a, "metrics_log", None) else None
+
+    if a.mode == "watch":
+        from kafka_mongo_watcher_spark.streaming.run import run_replay_stream
+
+        if not os.path.exists(os.path.join(a.table, "_latest")):
+            LakeTable.create(spark, a.table)
+        stats = run_replay_stream(
+            spark,
+            log_dir=a.log_dir,
+            table_path=a.table,
+            checkpoint_dir=a.checkpoint,
+            source_id=a.source_id,
+            max_files_per_trigger=a.max_files_per_trigger,
+            salted=a.salted,
+        )
+        for s in stats:
+            if mlog:
+                mlog.emit(s)
+        print(json.dumps({"mode": "watch", "epochs": len(stats),
+                          "committed": len([s for s in stats if not s.get("skipped")])}))
+    elif a.mode == "replay":
+        from kafka_mongo_watcher_spark.operators.envelope import (
+            build_insert_envelope,
+            transform_events,
+        )
+
+        if not os.path.exists(os.path.join(a.table, "_latest")):
+            LakeTable.create(spark, a.table)
+        table = LakeTable(spark, a.table)
+        base = spark.read.parquet(a.snapshot)
+        stats = table.merge(
+            transform_events(build_insert_envelope(base), fingerprint=False),
+            source_id="replay",
+            batch_id=0,
+        )
+        if mlog:
+            mlog.emit(stats)
+        print(json.dumps({"mode": "replay", **{k: v for k, v in stats.items() if k != "lineage"}}))
+    elif a.mode == "compact":
+        table = LakeTable(spark, a.table)
+        print(json.dumps({"mode": "compact", **table.compact()}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

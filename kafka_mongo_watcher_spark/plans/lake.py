@@ -245,7 +245,9 @@ class LakeTable:
                 .agg(F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset"))
                 .collect()
             )
-            touched = [r["_bucket"] for r in winners.select("_bucket").distinct().collect()]
+            bucket_counts = winners.groupBy("_bucket").count().collect()
+            touched = [r["_bucket"] for r in bucket_counts]
+            n_winners = sum(r["count"] for r in bucket_counts)
             if not touched:
                 new_manifest = dict(self.manifest)
                 new_manifest["version"] = self.version + 1
@@ -281,7 +283,6 @@ class LakeTable:
             # plan.
             data_cols = [n for n, _ in full_fields]
             stat_cols = list(KEY_COLS) + ["commit_seq", "offset"]
-            n_winners = winners.count()  # cached; also the merged-rows stat
             small = n_winners <= int(
                 self.spark.conf.get("kmw.merge.broadcastMaxWinners", "4000000")
             )
@@ -326,12 +327,14 @@ class LakeTable:
             new_version = self.version + 1
             rel_dir = os.path.join("data", f"v{new_version:08d}")
             out_dir = os.path.join(self.path, rel_dir)
-            # kept: written with the scan's own partitioning (no exchange);
-            # win_out: one shuffle of the small batch side to align buckets.
-            kept.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            # One write job: kept keeps the scan's own partitioning (no
+            # exchange); win_out gets one small shuffle to align buckets;
+            # union concatenates partitions without reshuffling either side.
             (
-                win_out.repartition(max(min(len(touched), 32), 1), "_bucket")
-                .write.mode("append")
+                kept.unionByName(
+                    win_out.repartition(max(min(len(touched), 32), 1), "_bucket")
+                )
+                .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(out_dir)
             )
