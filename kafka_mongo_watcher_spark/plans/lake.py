@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_mongo_watcher_spark.operators.dedup import lww_dedup, lww_dedup_salted
+from kafka_mongo_watcher_spark.operators.dedup import (
+    lww_dedup,
+    lww_dedup_salted,
+    lww_dedup_semijoin,
+)
 
 # Internal (engine-managed) columns appended after the user schema.
 INTERNAL_FIELDS = [
@@ -201,18 +205,70 @@ class LakeTable:
         snapshot commit. `batch` columns: repo, path, op, commit_seq, offset,
         partition_id, plus payload columns (commit, content, content_sha256,
         lang, ...). Returns per-merge stats incl. per-partition lineage."""
+        import time as _time
+
         applied = self.manifest["applied"]
         if batch_id is not None and applied.get(source_id, -1) >= batch_id:
             return {"skipped": True, "version": self.version, "batch_id": batch_id}
+        sc = self.spark.sparkContext
+        _t0 = _time.time()
+        _phases: dict[str, float] = {}
 
-        # -- intra-batch LWW dedup (window/row_number; salted 2-phase for skew) --
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            _phases[name] = round(now - _t0, 2)
+            _t0 = now
+
+        # -- per-source-partition lineage FIRST (reference O2 produce counters,
+        # /root/reference/internal/metrics/kafka.go:77-90). Column pruning
+        # makes this a near-free pass over (partition_id, offset) only, and
+        # its total doubles as the batch-size estimate that picks the dedup
+        # strategy below.
+        sc.setJobDescription(f"merge[{source_id}/{batch_id}]: lineage agg")
+        lineage_rows = (
+            batch.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset"))
+            .collect()
+        )
+        n_batch_events = sum(r["events"] for r in lineage_rows)
+        _mark("lineage")
+
+        # -- intra-batch LWW dedup. Strategy (SURVEY.md §4):
+        #   semijoin — shuffle only (key, ordering); payload never moves; needs
+        #              the winner set to fit a broadcast ⇒ micro-batches.
+        #   window   — row_number over the key window; general fallback.
+        #   salted   — two-phase max_by for skewed keys (explicit salting).
         # Dedup runs BEFORE the pandas-UDF fingerprint: only winner rows pay
         # the Python roundtrip (collision factor × less Arrow traffic).
-        winners = lww_dedup_salted(batch, n_salts=n_salts) if salted else lww_dedup(batch)
+        strategy = self.spark.conf.get("kmw.dedup.strategy", "auto")
+        semijoin_max = int(self.spark.conf.get("kmw.dedup.semijoinMaxEvents", "2000000"))
+        if strategy == "auto":
+            if salted:
+                strategy = "salted"
+            elif n_batch_events <= semijoin_max:
+                # micro-batch: winner tuples comfortably broadcastable; the
+                # payload never shuffles. Beyond this, the broadcast itself
+                # (driver collect + per-executor fetch) anti-scales with
+                # cluster size — the shuffling window path wins.
+                strategy = "semijoin"
+            else:
+                strategy = "window"
+        if strategy == "semijoin":
+            winners = lww_dedup_semijoin(batch)
+        elif strategy == "salted":
+            winners = lww_dedup_salted(batch, n_salts=n_salts)
+        else:
+            winners = lww_dedup(batch)
         if "content_raw" in winners.columns and "content_sha256" not in winners.columns:
-            from kafka_mongo_watcher_spark.operators.envelope import fingerprint_content
+            if self.spark.conf.get("kmw.merge.fingerprintWinners", "true") == "true":
+                from kafka_mongo_watcher_spark.operators.envelope import fingerprint_content
 
-            winners = fingerprint_content(winners)
+                winners = fingerprint_content(winners)
+            else:  # keep raw content; sha256 column left null (bench/diagnostics)
+                winners = winners.withColumnRenamed("content_raw", "content").withColumn(
+                    "content_sha256", F.lit(None).cast("string")
+                )
 
         # -- schema evolution: reconcile batch payload columns vs manifest --
         internal_names = {n for n, _ in INTERNAL_FIELDS} | {"op", "lineage"}
@@ -238,14 +294,10 @@ class LakeTable:
         winners = winners.select(*out_cols).withColumn("_bucket", self._bucket_expr())
         winners = winners.persist()
         try:
-            # per-source-partition lineage (reference O2 produce counters,
-            # /root/reference/internal/metrics/kafka.go:77-90)
-            lineage_rows = (
-                batch.groupBy("partition_id")
-                .agg(F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset"))
-                .collect()
-            )
+            _mark("plan_winners")
+            sc.setJobDescription(f"merge[{source_id}/{batch_id}]: dedup winners + bucket counts")
             bucket_counts = winners.groupBy("_bucket").count().collect()
+            _mark("dedup_materialize")
             touched = [r["_bucket"] for r in bucket_counts]
             n_winners = sum(r["count"] for r in bucket_counts)
             if not touched:
@@ -284,7 +336,7 @@ class LakeTable:
             data_cols = [n for n, _ in full_fields]
             stat_cols = list(KEY_COLS) + ["commit_seq", "offset"]
             small = n_winners <= int(
-                self.spark.conf.get("kmw.merge.broadcastMaxWinners", "4000000")
+                self.spark.conf.get("kmw.merge.broadcastMaxWinners", "2000000")
             )
             bcast = F.broadcast if small else (lambda df: df)
 
@@ -330,6 +382,7 @@ class LakeTable:
             # One write job: kept keeps the scan's own partitioning (no
             # exchange); win_out gets one small shuffle to align buckets;
             # union concatenates partitions without reshuffling either side.
+            sc.setJobDescription(f"merge[{source_id}/{batch_id}]: COW write ({len(touched)} buckets)")
             (
                 kept.unionByName(
                     win_out.repartition(max(min(len(touched), 32), 1), "_bucket")
@@ -338,8 +391,10 @@ class LakeTable:
                 .partitionBy("_bucket")
                 .parquet(out_dir)
             )
+            _mark("cow_write")
         finally:
             winners.unpersist()
+            sc.setJobDescription(None)
 
         # build the new manifest: touched buckets → new files, rest carried over
         new_buckets = dict(self.manifest["buckets"])
@@ -375,13 +430,16 @@ class LakeTable:
             "stats": {"files": sum(len(v) for v in new_buckets.values())},
         }
         self._commit(new_manifest)
+        _mark("manifest_commit")
         return {
             "skipped": False,
+            "phases": _phases,
             "version": new_version,
             "touched_buckets": len(touched),
             "files_written": written,
             "merged_rows": n_winners,
             "broadcast_apply": small,
+            "dedup_strategy": strategy,
             "lineage": lineage,
         }
 

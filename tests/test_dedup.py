@@ -52,3 +52,29 @@ def test_salted_equals_unsalted_on_skewed_data(spark):
             .collect()
         }
         assert a == b, f"salted(n={n_salts}) diverged"
+
+
+def test_semijoin_equals_window_on_generated_log(spark):
+    from kafka_mongo_watcher_spark.operators.dedup import lww_dedup_semijoin
+
+    ev = generate_events(spark, 4000, skew_pct=60).filter(F.col("repo").isNotNull())
+    a = {tuple(r) for r in lww_dedup(ev).select("repo", "path", "commit_seq", "commit").collect()}
+    b = {
+        tuple(r)
+        for r in lww_dedup_semijoin(ev).select("repo", "path", "commit_seq", "commit").collect()
+    }
+    assert a == b
+
+
+def test_semijoin_basic_cases(spark):
+    from kafka_mongo_watcher_spark.operators.dedup import lww_dedup_semijoin
+
+    rows = [
+        (0, 1, "insert", "r", "p", 10, "a"),
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 3, "update", "r", "p", 11, "c"),
+        (0, 4, "delete", "r2", "p", 5, None),
+        (1, 1, "insert", "r2", "p", 4, "d"),
+    ]
+    got = {(r["repo"], r["op"]) for r in lww_dedup_semijoin(_df(spark, rows)).collect()}
+    assert got == {("r", "update"), ("r2", "delete")}
