@@ -126,12 +126,14 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tables: tuple[str, ...] = ("
     _DUCK_SQL[name] = duck_sql
 
 
-# U2-analog op-type filter (Filter.js:62-66)
+# U2-analog op-type filter (Filter.js:62-66). `value` passes through raw:
+# the same binary double read from the same parquet is bit-identical in both
+# engines — no round(double) (whose tie-handling is engine-specific).
 _pair(
     "cdc_op_filter",
-    "SELECT event_id, user_id, event_type, CAST(round(value, 3) AS DOUBLE) AS value_r "
+    "SELECT event_id, user_id, event_type, value AS value_r "
     "FROM events WHERE event_type = 'error'",
-    "SELECT event_id, user_id, event_type, CAST(round(value, 3) AS DOUBLE) AS value_r "
+    "SELECT event_id, user_id, event_type, value AS value_r "
     "FROM events WHERE event_type = 'error'",
 )
 
@@ -213,14 +215,18 @@ _pair(
     "ELSE event_type END AS payload FROM events",
 )
 
-# produce counters by op (client_metric.go:36-47)
+# produce counters by op (client_metric.go:36-47). Decimal BEFORE any
+# arithmetic: `value` is a 2-decimal quantity, so CAST(value AS DECIMAL(18,2))
+# is an unambiguous nearest-decimal conversion in both engines (never within
+# a rounding tie), and the SUM is then exact decimal arithmetic — immune to
+# float summation order and to round(double) divergence (VERDICT r1 §wrong 1).
 _pair(
     "cdc_counts_by_op",
     "SELECT event_type, COUNT(*) AS n, "
-    "CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS value_sum "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
     "FROM events GROUP BY event_type",
     "SELECT event_type, COUNT(*) AS n, "
-    "CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS value_sum "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
     "FROM events GROUP BY event_type",
 )
 
@@ -341,25 +347,39 @@ _pair(
 )
 
 # MinHash-LSH candidate pairs: band size 1 (share any minhash) → candidates,
-# scored by signature agreement (estimated Jaccard)
-def _mh_lsh_sql(sig_sql: str) -> str:
-    eqs = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH))
-    anyeq = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH))
-    return (
-        f"WITH sig AS ({sig_sql}) "
-        f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
-        f"CAST(round(({eqs}) / {float(_MH)}, 4) AS DOUBLE) AS est_jaccard "
-        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({anyeq}) "
-        f"WHERE ({eqs}) >= {_MH - 1}"
+# scored by signature agreement (estimated Jaccard). The Spark side routes
+# through the library op (operators/dedupe_docs.py:minhash_lsh_pairs): the
+# banded explode → equi hash join on (band, val) — never the r1 OR-of-
+# equalities join that Catalyst planned as an O(n²) BroadcastNestedLoopJoin
+# (VERDICT §wrong 2). The DuckDB oracle mirrors the banded shape.
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import minhash_lsh_pairs
+
+    _register(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(spark.table("documents"), k=_MH).select(
+        "a_id", "b_id", F.col("est_jaccard").cast("double").alias("est_jaccard")
     )
 
 
-_pair(
-    "dedup_minhash_lsh",
-    _mh_lsh_sql(_minhash_sql("split", "transform", "array_min", "||", "array_distinct")),
-    _mh_lsh_sql(_minhash_sql("string_split", "list_transform", "list_min", "||", "list_distinct")),
-    ("documents",),
-)
+def _mh_lsh_banded_oracle() -> str:
+    sig_sql = _minhash_sql("string_split", "list_transform", "list_min", "||", "list_distinct")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, mh_{i} AS val FROM sig" for i in range(_MH)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH)
+    )
+    return (
+        f"WITH sig AS ({sig_sql}), bands AS ({bands}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val "
+        f"AND a.doc_id < b.doc_id) "
+        f"SELECT c.a_id, c.b_id, "
+        f"CAST(round(({eqs}) / {float(_MH)}, 4) AS DOUBLE) AS est_jaccard "
+        f"FROM cand c JOIN sig sa ON sa.doc_id = c.a_id "
+        f"JOIN sig sb ON sb.doc_id = c.b_id "
+        f"WHERE ({eqs}) >= {_MH - 1}"
+    )
 
 # -- embedding similarity ----------------------------------------------------
 
@@ -410,17 +430,23 @@ _pair(
 
 # -- generic user pipelines (CUSTOM_PIPELINE $match/$group analog) -----------
 
+# r1 hash-mismatch root cause (VERDICT §wrong 1): round(double, 2) on the
+# product diverges between engines (Spark rounds the shortest decimal repr,
+# DuckDB the binary double). Fix: cast each 2-decimal source column to
+# DECIMAL FIRST (unambiguous — TPC-H money/discount columns are exact
+# hundredths, never near a cast tie), then multiply/sum in exact decimal
+# arithmetic; only the final exact decimal is converted to DOUBLE.
 _pair(
     "pipeline_group_agg",
     "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, "
     "COUNT(*) AS n_rows "
     "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
     "GROUP BY l_returnflag, l_linestatus",
     "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, "
     "COUNT(*) AS n_rows "
     "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
     "GROUP BY l_returnflag, l_linestatus",
@@ -430,11 +456,11 @@ _pair(
 _pair(
     "pipeline_join_agg",
     "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
-    "CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "GROUP BY c.c_mktsegment",
     "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
-    "CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "GROUP BY c.c_mktsegment",
     ("orders", "customer"),
@@ -501,16 +527,41 @@ FROM h
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table random-hyperplane LSH (library op;
-    approximate by construction → rows-only driver check; recall vs brute
-    force is asserted in tests/test_training_ops.py)."""
-    from kafka_mongo_watcher_spark.operators.similarity import lsh_topk
+    """Approximate NN via multi-table random-hyperplane LSH, made
+    driver-checkable (VERDICT r1 §next 7): the LSH top-k is compared against
+    the exact brute-force top-k *inside the query*, and the per-query recall
+    flag is the result. The operator is deterministic (seeded hyperplanes),
+    so `recall_ok` must be TRUE for every query — which the DuckDB oracle
+    asserts without re-implementing LSH."""
+    from kafka_mongo_watcher_spark.operators.similarity import brute_force_topk, lsh_topk
 
     _register(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 3), emb, k=5, dim=64).select(
-        "query_id", "cand_id", F.round("cos_sim", 3).alias("cos_sim")
+    k = 5
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    cands = emb.filter(F.col("vec_id") >= 3)
+    lsh = lsh_topk(queries_df, cands, k=k, dim=64).select("query_id", "cand_id")
+    brute = brute_force_topk(queries_df, cands, k=k).select("query_id", "cand_id")
+    hits = (
+        lsh.join(brute, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    return (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(int(0.8 * k))).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_LSH_ORACLE = (
+    "SELECT vec_id AS query_id, 5 AS k, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id < 3"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -519,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
         "ann_lsh_topk": _ann_lsh_topk,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -530,7 +582,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
-        # ann_lsh_topk: intentionally no oracle (approximate operator)
+        "ann_lsh_topk": _ANN_LSH_ORACLE,
+        "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
     }
     out.update(_DUCK_SQL)
     return out
