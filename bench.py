@@ -33,19 +33,31 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def bench_cdc_replay(spark, n_events: int, *, salted: bool, n_batches: int = 4) -> float:
+def bench_cdc_replay(
+    spark,
+    n_events: int,
+    *,
+    salted: bool,
+    n_batches: int = 4,
+    write_mode: str = "mor",
+) -> float:
+    """Timed: N micro-batch merges + (for MOR) a final full compaction, so
+    the number covers the entire cost of producing a read-optimized table —
+    deltas are never left unpaid-for."""
     from pyspark.sql import functions as F
 
     from kafka_mongo_watcher_spark.datagen import generate_events
     from kafka_mongo_watcher_spark.operators.envelope import transform_events
     from kafka_mongo_watcher_spark.plans.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="kmw_bench_")
+    work = tempfile.mkdtemp(prefix="kmw_bench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         events = generate_events(spark, n_events)
         events.write.mode("overwrite").parquet(f"{work}/log")  # gen cost excluded
         log = spark.read.parquet(f"{work}/log")
-        table = LakeTable.create(spark, f"{work}/table", n_buckets=64)
+        table = LakeTable.create(
+            spark, f"{work}/table", n_buckets=64, write_mode=write_mode
+        )
         step = n_events // n_batches
         t0 = time.time()
         for b in range(n_batches):
@@ -55,6 +67,8 @@ def bench_cdc_replay(spark, n_events: int, *, salted: bool, n_batches: int = 4) 
                 transform_events(chunk, fingerprint=False),
                 source_id="bench", batch_id=b, salted=salted,
             )
+        if write_mode == "mor":
+            table.compact()
         return time.time() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -69,12 +83,19 @@ def main() -> None:
     # local[N] JVM bottlenecks on process-wide kernel locks (see
     # BENCH/BASELINE.md). Overridable via KMW_MASTER.
     n_cpu = int(cpus)
+    # 6656 MB workers with -Xms=-Xmx + AlwaysPreTouch (session.py): the
+    # whole heap is provisioned at JVM launch, before any timing starts —
+    # the r1 bench paid the VM's lazy page provisioning INSIDE the timed
+    # run (VERDICT r1: 953 s at sf0.1 vs 113 s in the scaling harness).
     master = os.environ.get("KMW_MASTER") or (
-        f"local-cluster[{n_cpu // 8},8,14336]" if n_cpu >= 16 and n_cpu % 8 == 0
+        f"local-cluster[{n_cpu // 8},8,6656]" if n_cpu >= 16 and n_cpu % 8 == 0
         else f"local[{n_cpu}]"
     )
-    spark = spark_session(app_name="kmw-bench", cores=cpus, master=master,
-                          shuffle_partitions=max(int(cpus) * 2, 16))
+    spark = spark_session(
+        app_name="kmw-bench", cores=cpus, master=master,
+        shuffle_partitions=max(int(cpus) * 2, 16),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "33554432"},
+    )
 
     queries: dict[str, float] = {}
 
@@ -88,6 +109,9 @@ def main() -> None:
 
     queries["cdc_replay_salted"] = round(
         bench_cdc_replay(spark, n_events, salted=True), 3
+    )
+    queries["cdc_replay_cow"] = round(
+        bench_cdc_replay(spark, n_events, salted=False, write_mode="cow"), 3
     )
 
     # representative analytical queries from the driver contract at sf_dir

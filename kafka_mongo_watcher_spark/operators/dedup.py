@@ -55,22 +55,36 @@ def lww_dedup_semijoin(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
     shuffled: at 100 TB this moves ~2% of the bytes the window/row_number
     plan moves, and replaces its per-partition sort with a hash lookup.
 
-    Contract: the ordering tuple (commit_seq, offset) must be unique per row
-    within the batch — true for any offset-tracked change log (offsets are
-    the resume token: gap-free and unique per partition,
-    /root/reference/internal/mongo/watch_producer.go:106-134). Duplicate
-    delivery across batches is handled by the idempotent MERGE, not here.
-    Caller falls back to `lww_dedup`/`lww_dedup_salted` when the winner set
-    is too large to broadcast (initial snapshot loads) — same results.
+    Ordering tuples (commit_seq, offset) are unique per row for any
+    offset-tracked change log (offsets are the resume token: gap-free and
+    unique per partition, /root/reference/internal/mongo/watch_producer.go:
+    106-134), but a duplicated within-batch delivery must still collapse to
+    ONE row per key (merge assumes |winners| = 1/key): the final
+    dropDuplicates over the tiny winner set restores the invariant at the
+    cost of shuffling only winner rows (~1/key — the same volume the merge
+    shuffles anyway). Joins are null-safe so rows with null key/order columns
+    survive exactly as they do in the window path (callers using
+    drop_malformed=False). Caller falls back to `lww_dedup`/
+    `lww_dedup_salted` when the winner set is too large to broadcast
+    (initial snapshot loads) — same results.
     """
     order_cols = [c for c in ORDER_COLS if c in df.columns] or ["commit_seq"]
     win = (
         df.select(*key_cols, *order_cols)
         .groupBy(*key_cols)
         .agg(F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_w"))
-        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
+        .select(
+            *[F.col(c).alias(f"_w_{c}") for c in key_cols],
+            *[F.col(f"_w.{c}").alias(f"_w_{c}") for c in order_cols],
+        )
     )
-    return df.join(F.broadcast(win), [*key_cols, *order_cols], "left_semi")
+    cond = None
+    for c in [*key_cols, *order_cols]:
+        eq = F.col(c).eqNullSafe(F.col(f"_w_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(win), cond, "left_semi").dropDuplicates(
+        [*key_cols, *order_cols]
+    )
 
 
 def lww_dedup_salted(df: DataFrame, key_cols=KEY_COLS, n_salts: int = 16) -> DataFrame:

@@ -125,3 +125,24 @@ def keep_last_n(df: DataFrame, n: int, order_cols=("commit_seq", "offset")) -> D
     (no full sort at scale)."""
     cols = [c for c in order_cols if c in df.columns]
     return df.orderBy(*[F.col(c).desc() for c in cols]).limit(n)
+
+
+def drop_update_description(df: DataFrame, cols=("update_description",)) -> DataFrame:
+    """F5 ignoreUpdateDescription (watch_producer.go:125-127: `event.Updates
+    = nil` when configured): drop the update-delta columns from the envelope
+    before emission. Missing columns are ignored — dropping is declarative
+    column pruning, so the scan never reads them (Catalyst prunes)."""
+    return df.drop(*[c for c in cols if c in df.columns])
+
+
+def debug_tap(df: DataFrame, *, n: int = 10, log=print, label: str = "debug") -> DataFrame:
+    """O4 debug tap (debug/debugger.go:22-50: log every message key/value at
+    debug level; SSE fan-out is UI-only, descoped per SURVEY §2.4-2.5).
+
+    Logs up to `n` sample rows driver-side and returns the DataFrame
+    UNCHANGED, so it chains anywhere in a pipeline:
+        table.merge(debug_tap(transform_events(batch)))
+    The sample is a bounded take — never a full collect."""
+    for row in df.take(n):
+        log(f"[{label}] {row.asDict()}")
+    return df

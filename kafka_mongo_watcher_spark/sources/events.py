@@ -14,7 +14,10 @@ built-ins: task retries + restart-from-checkpoint.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EVENT_SCHEMA_DDL = (
@@ -59,3 +62,36 @@ def stream_event_log(
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+def start_position(
+    *,
+    at: int | None = None,
+    delay_seconds: float | None = None,
+    now=None,
+) -> int | None:
+    """S5/start-at resolution (service/mongo.go:68-82): where to begin
+    consuming the change stream, as epoch SECONDS.
+
+    Precedence mirrors the reference switch exactly: an explicit operation
+    time T (> 0) beats a delay; a delay (> 0) resolves to now - delay;
+    otherwise None (start at the current tip). `now` is the injectable clock
+    seam (returns epoch seconds), like the reference's `time.Now` variable.
+    """
+    if at is not None and at > 0:
+        return int(at)
+    if delay_seconds is not None and delay_seconds > 0:
+        clock = now or time.time
+        return int(clock() - delay_seconds)
+    return None
+
+
+def events_from_position(
+    events: DataFrame, position: int | None, *, ts_col: str = "commit_seq"
+) -> DataFrame:
+    """Apply a start position to an event DataFrame: keep events at or after
+    the resolved operation time (Mongo StartAtOperationTime includes T
+    itself). position=None is the no-op tail start."""
+    if position is None:
+        return events
+    return events.filter(F.col(ts_col) >= F.lit(position))

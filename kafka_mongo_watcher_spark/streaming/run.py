@@ -72,3 +72,39 @@ def run_replay_stream(
         if q.isActive:
             q.stop()
     return stats
+
+
+def run_with_retries(
+    fn,
+    *,
+    max_retries: int = 3,
+    retry_delay: float = 1.0,
+    sleep=None,
+    on_retry=None,
+):
+    """S7 retry-with-backoff on stream open/run
+    (/root/reference/internal/mongo/watch_producer.go:70-102: retry the
+    cursor open up to maxRetries, sleeping retryDelay between attempts).
+
+    `fn` is the stream runner (e.g. lambda: run_replay_stream(...)); a
+    successful call's result is returned. After the final failed attempt the
+    last error is re-raised (the reference logs-and-gives-up; a driver
+    process exits non-zero either way). `sleep` is injectable for tests.
+    Restart-from-checkpoint makes re-invoking `fn` safe: committed epochs
+    are fenced, uncommitted ones replay identically (exactly-once).
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — any open/run failure retries
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+            if on_retry is not None:
+                on_retry(attempt, e)
+            if retry_delay > 0:
+                do_sleep(retry_delay)

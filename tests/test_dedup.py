@@ -78,3 +78,36 @@ def test_semijoin_basic_cases(spark):
     ]
     got = {(r["repo"], r["op"]) for r in lww_dedup_semijoin(_df(spark, rows)).collect()}
     assert got == {("r", "update"), ("r2", "delete")}
+
+
+def test_semijoin_exact_within_batch_duplicate_collapses(spark):
+    """ADVICE r1: an exact duplicate delivery inside one micro-batch (same
+    key AND same ordering tuple) must still yield ONE winner per key — merge
+    assumes |winners| = 1/key."""
+    from kafka_mongo_watcher_spark.operators.dedup import lww_dedup_semijoin
+
+    rows = [
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 2, "update", "r", "p", 12, "b"),  # exact duplicate delivery
+        (0, 1, "insert", "r", "p", 10, "a"),
+    ]
+    got = lww_dedup_semijoin(_df(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["v"] == "b"
+
+
+def test_semijoin_keeps_null_key_rows_like_window_path(spark):
+    """ADVICE r1: null-safe join semantics — rows with null key columns must
+    survive the semijoin path exactly as they do in the window path
+    (drop_malformed=False callers)."""
+    from kafka_mongo_watcher_spark.operators.dedup import lww_dedup_semijoin
+
+    rows = [
+        (0, 1, "insert", None, "p", 10, "a"),
+        (0, 2, "update", None, "p", 11, "b"),
+        (0, 3, "insert", "r", None, 12, "c"),
+        (0, 4, "insert", "r", "p", 13, "d"),
+    ]
+    df = _df(spark, rows)
+    win = {(r["repo"], r["path"], r["v"]) for r in lww_dedup(df).collect()}
+    semi = {(r["repo"], r["path"], r["v"]) for r in lww_dedup_semijoin(df).collect()}
+    assert semi == win == {(None, "p", "b"), ("r", None, "c"), ("r", "p", "d")}
