@@ -158,9 +158,12 @@ _pair(
 # LWW dedup: latest event per key (north_star window/row_number)
 _pair(
     "cdc_lww_latest",
-    "SELECT user_id, event_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us FROM ("
-    "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
-    "  FROM events) WHERE rn = 1",
+    # max(struct) instead of a row_number window: partial aggregation runs
+    # map-side (no global sort, ~|keys| rows shuffle instead of |events|) —
+    # the same winner because event_id is unique per event (tie-break key)
+    "SELECT user_id, mx.event_id AS event_id, mx.event_type AS event_type, mx.ts_us AS ts_us FROM ("
+    "  SELECT user_id, max(struct(unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type)) AS mx"
+    "  FROM events GROUP BY user_id)",
     "SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
     "  FROM events) t WHERE rn = 1",

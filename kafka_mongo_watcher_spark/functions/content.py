@@ -64,10 +64,47 @@ def _normalize_and_fingerprint_udf(raw: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"content": norm, "content_sha256": sha})
 
 
+# Characters python's str.rstrip() strips from an ASCII line once \r and \n
+# are out of band: space, \t, \v, \f, \x1c-\x1f (FS/GS/RS/US are Unicode
+# whitespace per str.isspace()).
+_ASCII_LINE_WS = "[ \t\x0b\x0c\x1c-\x1f]"
+
+
+def _ascii_normalize_expr(col):
+    """The canonical normalization as pure Catalyst expressions — valid ONLY
+    for pure-ASCII input, where NFC is the identity. Byte-equality with
+    normalize_content_py is asserted in tests/test_functions.py."""
+    s = F.regexp_replace(col, "\r\n|\r", "\n")
+    s = F.regexp_replace(s, _ASCII_LINE_WS + "+\n", "\n")
+    s = F.regexp_replace(s, _ASCII_LINE_WS + "+$", "")
+    s = F.regexp_replace(s, "\n+$", "")
+    return F.when(s == "", F.lit("")).otherwise(F.concat(s, F.lit("\n")))
+
+
 def normalize_and_fingerprint(col):
-    """Column → struct<content, content_sha256> via one vectorized pandas UDF.
+    """Column → struct<content, content_sha256>.
+
+    Hybrid plan: pure-ASCII rows (the overwhelming majority of code/CDC
+    content) are normalized and sha256'd entirely JVM-side (regexp chain +
+    sha2 — NFC is the identity on ASCII); only non-ASCII rows pay the
+    pandas-UDF roundtrip. The UDF's input is NULLED for ASCII rows rather
+    than branch-gated, because Spark extracts python UDFs into an
+    ArrowEvalPython node that runs over every row regardless of when()
+    branches — nulls keep the Arrow transfer near-zero-byte while the
+    expression stays a single-pass projection (no filter/union double-scan
+    of the upstream dedup).
 
     Usage: df.withColumn("_nf", normalize_and_fingerprint(F.col("content_raw")))
              .withColumn("content", F.col("_nf.content")) ...
     """
-    return _normalize_and_fingerprint_udf(col)
+    is_ascii = col.rlike("^[\\x00-\\x7F]*$")
+    ascii_norm = _ascii_normalize_expr(col)
+    return F.when(
+        is_ascii,
+        F.struct(
+            ascii_norm.alias("content"),
+            F.sha2(ascii_norm, 256).alias("content_sha256"),
+        ),
+    ).otherwise(
+        _normalize_and_fingerprint_udf(F.when(is_ascii, F.lit(None)).otherwise(col))
+    )

@@ -92,3 +92,17 @@ def spark_xxhash64_strings(values: list[str], seed: int = 42) -> int:
 def spark_pmod_bucket(values: list[str], n_buckets: int, seed: int = 42) -> int:
     """pmod(xxhash64(*values), n_buckets) exactly as Spark computes it."""
     return spark_xxhash64_strings(values, seed) % n_buckets
+
+
+def spark_xxhash64_ints(values: list[int], seed: int = 42) -> int:
+    """Spark's xxhash64(col1, col2, ...) over IntegerType columns, as a
+    SIGNED 64-bit int.
+
+    Spark's XXH64.hashInt specialization is exactly standard XXH64 of the
+    value's 4 little-endian bytes (the <32-byte tail path), so the generic
+    xxh64() applies. Equality with the Spark expression is asserted in
+    tests/test_training_ops.py."""
+    h = seed
+    for v in values:
+        h = xxh64((v & 0xFFFFFFFF).to_bytes(4, "little"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -232,3 +232,22 @@ def test_ngram_lsh_prefilter_matches_blocked_results(spark, docs):
     exhaustive_pairs = {(r["a_id"], r["b_id"]) for r in blocked.collect()}
     assert default_pairs == exhaustive_pairs
     assert len(default_pairs) >= 5
+
+
+def test_spark_xxhash64_ints_matches_spark_expression(spark):
+    """The driver-side hyperplane constants (similarity._plane) must be
+    bit-for-bit what the inline Catalyst tree produced: xxhash64 over
+    IntegerType literals with default seed 42."""
+    from kafka_mongo_watcher_spark.functions.xxh import spark_xxhash64_ints
+
+    grid = [(1337, p, j) for p in range(4) for j in range(0, 64, 7)] + [
+        (1337 + 7919 * 9, 3, 63),
+        (0, 0, 0),
+    ]
+    exprs = [
+        F.xxhash64(F.lit(s), F.lit(p), F.lit(j)).alias(f"h{i}")
+        for i, (s, p, j) in enumerate(grid)
+    ]
+    row = spark.range(1).select(*exprs).first()
+    for i, (s, p, j) in enumerate(grid):
+        assert row[f"h{i}"] == spark_xxhash64_ints([s, p, j]), (s, p, j)
