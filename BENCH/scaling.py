@@ -90,6 +90,13 @@ def run_at(n_executors: int, n_events: int, n_batches: int, pkg: str) -> dict:
         "--conf", "spark.python.daemon.module=kafka_mongo_watcher_spark.daemon_preload",
         "--conf", "spark.python.worker.reuse=true",
         "--conf", f"spark.executorEnv.PYTHONPATH={REPO}",
+    ]
+    evdir = os.environ.get("KMW_EVENTLOG_DIR")
+    if evdir:  # per-stage diagnosis via tools/stage_report.py
+        os.makedirs(f"{evdir}/{n_executors}x8", exist_ok=True)
+        cmd += ["--conf", "spark.eventLog.enabled=true",
+                "--conf", f"spark.eventLog.dir={evdir}/{n_executors}x8"]
+    cmd += [
         "--py-files", pkg,
         os.path.join(REPO, "BENCH", "scaling_job.py"),
         str(n_events), str(n_batches), os.environ.get("KMW_SCALING_WRITE_MODE", "mor"),
@@ -99,6 +106,14 @@ def run_at(n_executors: int, n_events: int, n_batches: int, pkg: str) -> dict:
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     finally:
         pinner.terminate()
+    # persist full per-trial stdout (per-batch phase timings) for diagnosis
+    logdir = os.path.join(REPO, "BENCH", "logs")
+    os.makedirs(logdir, exist_ok=True)
+    tag = f"{n_executors}x8_{len(os.listdir(logdir))}"
+    with open(os.path.join(logdir, f"trial_{tag}.log"), "w") as f:
+        f.write(out.stdout)
+        f.write("\n--- stderr tail ---\n")
+        f.write(out.stderr[-4000:])
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"events_per_sec"' in line:

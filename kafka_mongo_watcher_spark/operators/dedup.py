@@ -69,22 +69,52 @@ def lww_dedup_semijoin(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
     (initial snapshot loads) — same results.
     """
     order_cols = [c for c in ORDER_COLS if c in df.columns] or ["commit_seq"]
-    win = (
+    # pass 1a: collapse to distinct (key, ordering) tuples, remembering how
+    # many physical rows carry each tuple (replayed at-least-once deliveries
+    # ⇒ _cnt > 1). Payload-free: only key+ordering cross the wire, and the
+    # map-side partial agg collapses dupes before the shuffle.
+    tuples = (
         df.select(*key_cols, *order_cols)
-        .groupBy(*key_cols)
-        .agg(F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_w"))
+        .groupBy(*key_cols, *order_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    # pass 1b: max ordering per key (tiny: one row per distinct tuple);
+    # _cnt trails the order cols in the struct so it never affects the max.
+    win = (
+        tuples.groupBy(*key_cols)
+        .agg(F.max(F.struct(*[F.col(c) for c in order_cols], F.col("_cnt"))).alias("_w"))
         .select(
             *[F.col(c).alias(f"_w_{c}") for c in key_cols],
             *[F.col(f"_w.{c}").alias(f"_w_{c}") for c in order_cols],
+            F.col("_w._cnt").alias("_w_cnt"),
         )
     )
-    cond = None
-    for c in [*key_cols, *order_cols]:
-        eq = F.col(c).eqNullSafe(F.col(f"_w_{c}"))
-        cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(win), cond, "left_semi").dropDuplicates(
+
+    def _semi(src: DataFrame, winners: DataFrame) -> DataFrame:
+        cond = None
+        for c in [*key_cols, *order_cols]:
+            eq = F.col(c).eqNullSafe(F.col(f"_w_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return src.join(F.broadcast(winners.drop("_w_cnt")), cond, "left_semi")
+
+    # Gate: does ANY winning tuple have >1 physical copies? One tiny
+    # payload-free job (pass-1 agg reruns inside the main plan's broadcast —
+    # it shuffles only key+ordering, so the rerun is cheap). The common
+    # no-dups answer buys a single-branch plan with NO payload shuffle —
+    # the whole point of this strategy. (r1 shipped an unconditional
+    # dropDuplicates over full winner rows here, re-introducing the payload
+    # exchange it had just eliminated; that reduce stage dominated merge CPU
+    # and was the largest non-scaling term in the r2 scaling diagnosis.)
+    has_dups = win.filter(F.col("_w_cnt") > 1).limit(1).count() > 0
+    if not has_dups:
+        return _semi(df, win)
+    # Replayed deliveries present: rows of once-delivered tuples still skip
+    # the shuffle; only rows of duplicated tuples pay a (tiny) dedup shuffle.
+    clean = _semi(df, win.filter(F.col("_w_cnt") == 1))
+    duped = _semi(df, win.filter(F.col("_w_cnt") > 1)).dropDuplicates(
         [*key_cols, *order_cols]
     )
+    return clean.unionByName(duped)
 
 
 def lww_dedup_salted(df: DataFrame, key_cols=KEY_COLS, n_salts: int = 16) -> DataFrame:

@@ -376,9 +376,97 @@ class LakeTable:
             (F.col("op") == "delete").alias("is_deleted"),
         ]
         winners = winners.select(*out_cols).withColumn("_bucket", self._bucket_expr())
+        _mark("plan_winners")
+
+        if self.manifest["write_mode"] == "mor":
+            # Merge-on-read: append ONLY the winner rows as per-bucket delta
+            # files — no read, no join, no rewrite of the existing table.
+            # Write cost is O(batch) regardless of how the batch's keys hash
+            # across buckets (the COW scale-killer, VERDICT r1).
+            #
+            # ONE fused payload pass: scan → semijoin dedup filter →
+            # fingerprint → bucket shuffle → parquet. r1 persisted winners
+            # and ran a separate bucket-count job first — a full extra
+            # materialization of the payload (cache build + re-read), the
+            # single largest memory-bandwidth term in the r2 scaling
+            # diagnosis. Row counts now ride the write job itself via
+            # Observation; touched buckets come from the output listing.
+            from pyspark.sql import Observation
+
+            new_version = self.version + 1
+            rel_dir = os.path.join("data", f"v{new_version:08d}")
+            out_dir = os.path.join(self.path, rel_dir)
+            sc.setJobDescription(f"merge[{source_id}/{batch_id}]: MOR fused dedup+delta write")
+            obs = Observation()
+            # n_buckets hashed into ≤32 writer partitions: every bucket maps
+            # to exactly one task ⇒ exactly one delta file per touched bucket
+            # per batch, and ≤32 concurrent writers regardless of batch size.
+            n_writers = max(1, min(32, self.n_buckets))
+            (
+                winners.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .repartition(n_writers, "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(out_dir)
+            )
+            n_winners = int(obs.get["rows"])
+            _mark("dedup_delta_write")
+            touched = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_dir)
+                if d.startswith("_bucket=")
+            ) if os.path.isdir(out_dir) else []
+            new_deltas = {k: list(v) for k, v in self.manifest["deltas"].items()}
+            written = 0
+            for b in touched:
+                files = self._ls_bucket(out_dir, rel_dir, b)
+                written += len(files)
+                if files:
+                    new_deltas[str(b)] = new_deltas.get(str(b), []) + files
+            lineage = {
+                str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
+                for r in lineage_rows
+            }
+            new_manifest = {
+                "version": new_version,
+                "n_buckets": self.n_buckets,
+                "write_mode": "mor",
+                "user_schema": [list(x) for x in user_schema],
+                "buckets": dict(self.manifest["buckets"]),
+                "deltas": new_deltas,
+                "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
+                "lineage": lineage,
+                "stats": {"delta_files": sum(len(v) for v in new_deltas.values())},
+            }
+            self._commit(new_manifest)
+            _mark("manifest_commit")
+            sc.setJobDescription(None)
+            # bounded read amplification: fold any bucket whose delta
+            # chain grew past the cap back into its base (bucket-local
+            # rewrite — never the whole table)
+            max_deltas = int(self.spark.conf.get("kmw.mor.maxDeltasPerBucket", "8"))
+            over = [int(b) for b, fs in new_deltas.items() if len(fs) > max_deltas]
+            if over:
+                self.compact_buckets(over)
+                _mark("auto_compact")
+            return {
+                "skipped": False,
+                "phases": _phases,
+                "mode": "mor",
+                "version": self.version,
+                "touched_buckets": len(touched),
+                "files_written": written,
+                "merged_rows": n_winners,
+                "compacted_buckets": len(over),
+                "dedup_strategy": strategy,
+                "lineage": lineage,
+            }
+
+        # ---- copy-on-write path: winners is read twice (stats broadcast +
+        # write union), so materialize it once in cache and plan against the
+        # per-bucket counts.
         winners = winners.persist()
         try:
-            _mark("plan_winners")
             sc.setJobDescription(f"merge[{source_id}/{batch_id}]: dedup winners + bucket counts")
             bucket_counts = winners.groupBy("_bucket").count().collect()
             _mark("dedup_materialize")
@@ -391,70 +479,6 @@ class LakeTable:
                 self._commit(new_manifest)
                 return {"skipped": False, "version": self.version, "merged_rows": 0,
                         "touched_buckets": 0, "lineage": []}
-
-            if self.manifest["write_mode"] == "mor":
-                # Merge-on-read: append ONLY the winner rows as per-bucket
-                # delta files — no read, no join, no rewrite of the existing
-                # table. Write cost is O(batch) regardless of how the batch's
-                # keys hash across buckets (the COW scale-killer, VERDICT r1).
-                new_version = self.version + 1
-                rel_dir = os.path.join("data", f"v{new_version:08d}")
-                out_dir = os.path.join(self.path, rel_dir)
-                sc.setJobDescription(
-                    f"merge[{source_id}/{batch_id}]: MOR delta write ({len(touched)} buckets)"
-                )
-                (
-                    winners.repartition(max(min(len(touched), 32), 1), "_bucket")
-                    .write.mode("overwrite")
-                    .partitionBy("_bucket")
-                    .parquet(out_dir)
-                )
-                _mark("delta_write")
-                new_deltas = {k: list(v) for k, v in self.manifest["deltas"].items()}
-                written = 0
-                for b in touched:
-                    files = self._ls_bucket(out_dir, rel_dir, b)
-                    written += len(files)
-                    if files:
-                        new_deltas[str(b)] = new_deltas.get(str(b), []) + files
-                lineage = {
-                    str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
-                    for r in lineage_rows
-                }
-                new_manifest = {
-                    "version": new_version,
-                    "n_buckets": self.n_buckets,
-                    "write_mode": "mor",
-                    "user_schema": [list(x) for x in user_schema],
-                    "buckets": dict(self.manifest["buckets"]),
-                    "deltas": new_deltas,
-                    "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
-                    "lineage": lineage,
-                    "stats": {"delta_files": sum(len(v) for v in new_deltas.values())},
-                }
-                self._commit(new_manifest)
-                _mark("manifest_commit")
-                winners.unpersist()
-                # bounded read amplification: fold any bucket whose delta
-                # chain grew past the cap back into its base (bucket-local
-                # rewrite — never the whole table)
-                max_deltas = int(self.spark.conf.get("kmw.mor.maxDeltasPerBucket", "8"))
-                over = [int(b) for b, fs in new_deltas.items() if len(fs) > max_deltas]
-                if over:
-                    self.compact_buckets(over)
-                    _mark("auto_compact")
-                return {
-                    "skipped": False,
-                    "phases": _phases,
-                    "mode": "mor",
-                    "version": self.version,
-                    "touched_buckets": len(touched),
-                    "files_written": written,
-                    "merged_rows": n_winners,
-                    "compacted_buckets": len(over),
-                    "dedup_strategy": strategy,
-                    "lineage": lineage,
-                }
 
             current = self.read_buckets(touched).withColumn("_bucket", self._bucket_expr())
             # union-by-name handles old manifests narrower than evolved schema
