@@ -36,17 +36,30 @@ def main():
     work = tempfile.mkdtemp(prefix="kmw_scaling_", dir=base)
     sc = spark.sparkContext
     sc.setJobDescription("datagen: write event log")
-    generate_events(spark, n_events).write.mode("overwrite").parquet(f"{work}/log")
+    # ~50k events/file: fine-grained, evenly-sized commit_seq-range splits so
+    # the fused merge map stage never straggles on one fat file
+    n_files = max(32, min(256, n_events // 50_000))
+    generate_events(spark, n_events, gen_parallelism=n_files).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/log")
     log = spark.read.parquet(f"{work}/log")
 
-    # warmup (untimed): a FULL-VOLUME merge into a throwaway table. Brings
+    # warmup (untimed): ONE batch-sized merge into a throwaway table. Brings
     # the system to the steady-state regime of a long-lived CDC stream:
     # JIT/codegen compiled, python-worker daemon forked and fed, broadcast
     # paths exercised, and — critically on lazily-provisioned VMs — the
-    # shuffle/output page working set provisioned (BENCH/BASELINE.md).
-    sc.setJobDescription("warmup merge (full volume, untimed)")
+    # per-batch shuffle/output page working set provisioned
+    # (BENCH/BASELINE.md). Batch-sized (not full-volume): the timed region
+    # only ever holds one batch in flight, so a bigger warmup just wastes
+    # trial wall-clock.
+    sc.setJobDescription("warmup merge (one batch volume, untimed)")
     warm = LakeTable.create(spark, f"{work}/warm", n_buckets=64, write_mode=write_mode)
-    warm.merge(transform_events(log, fingerprint=False), source_id="w", batch_id=0)
+    warm.merge(
+        transform_events(
+            log.filter(F.col("commit_seq") < n_events // n_batches), fingerprint=False
+        ),
+        source_id="w", batch_id=0,
+    )
     if write_mode == "mor":
         warm.compact()
     import shutil as _sh

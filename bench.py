@@ -52,7 +52,8 @@ def bench_cdc_replay(
 
     work = tempfile.mkdtemp(prefix="kmw_bench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
-        events = generate_events(spark, n_events)
+        n_files = max(32, min(256, n_events // 50_000))
+        events = generate_events(spark, n_events, gen_parallelism=n_files)
         events.write.mode("overwrite").parquet(f"{work}/log")  # gen cost excluded
         log = spark.read.parquet(f"{work}/log")
         table = LakeTable.create(

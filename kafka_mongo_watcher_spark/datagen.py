@@ -117,7 +117,16 @@ def generate_events(
     # Gap-free monotone per-partition offset = the resume token
     # (/root/reference/internal/mongo/watch_producer.go:106-134).
     w = Window.partitionBy("partition_id").orderBy("commit_seq")
-    return ev.withColumn("offset", F.row_number().over(w).cast("long"))
+    ev = ev.withColumn("offset", F.row_number().over(w).cast("long"))
+    # Re-layout by commit_seq range: the offset window leaves data hashed by
+    # the 8 partition_ids — at most 8 lumpy output files no matter the scale,
+    # which makes any downstream scan straggle on its biggest split (one
+    # 47 s task gated the whole fused merge stage in the r2 scaling
+    # diagnosis). Equal-range files also give commit_seq micro-batch filters
+    # exact parquet row-group pruning.
+    return ev.repartitionByRange(
+        gen_parallelism or max(8, n_events // 250_000), F.col("commit_seq")
+    )
 
 
 def write_event_log(

@@ -73,11 +73,17 @@ _ASCII_LINE_WS = "[ \t\x0b\x0c\x1c-\x1f]"
 def _ascii_normalize_expr(col):
     """The canonical normalization as pure Catalyst expressions — valid ONLY
     for pure-ASCII input, where NFC is the identity. Byte-equality with
-    normalize_content_py is asserted in tests/test_functions.py."""
-    s = F.regexp_replace(col, "\r\n|\r", "\n")
-    s = F.regexp_replace(s, _ASCII_LINE_WS + "+\n", "\n")
-    s = F.regexp_replace(s, _ASCII_LINE_WS + "+$", "")
-    s = F.regexp_replace(s, "\n+$", "")
+    normalize_content_py is asserted in tests/test_functions.py.
+
+    TWO regex passes, not four: this chain is the dominant per-event CPU of
+    the whole replay (~100 us/event at ~800 B content in the r2 profile), so
+    line-ending fold + line-trailing-ws strip fuse into one pass and the
+    two end-of-string strips into another. Possessive quantifiers (*+, ++)
+    keep java.util.regex from backtracking across the whitespace runs."""
+    # CRLF/CR → LF, stripping whitespace that trails each line, in one pass
+    s = F.regexp_replace(col, _ASCII_LINE_WS + "*+(\r\n|\r|\n)", "\n")
+    # strip any run of whitespace/newlines trailing the whole string
+    s = F.regexp_replace(s, "[ \t\x0b\x0c\x1c-\x1f\n]++$", "")
     return F.when(s == "", F.lit("")).otherwise(F.concat(s, F.lit("\n")))
 
 

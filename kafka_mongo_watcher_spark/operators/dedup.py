@@ -44,7 +44,9 @@ def lww_dedup(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
     )
 
 
-def lww_dedup_semijoin(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
+def lww_dedup_semijoin(
+    df: DataFrame, key_cols=KEY_COLS, cache_registry: list | None = None
+) -> DataFrame:
     """Shuffle-light LWW dedup: the payload never crosses the wire.
 
     Pass 1 shuffles ONLY (key, ordering) pairs — parquet column pruning makes
@@ -98,13 +100,20 @@ def lww_dedup_semijoin(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
         return src.join(F.broadcast(winners.drop("_w_cnt")), cond, "left_semi")
 
     # Gate: does ANY winning tuple have >1 physical copies? One tiny
-    # payload-free job (pass-1 agg reruns inside the main plan's broadcast —
-    # it shuffles only key+ordering, so the rerun is cheap). The common
-    # no-dups answer buys a single-branch plan with NO payload shuffle —
-    # the whole point of this strategy. (r1 shipped an unconditional
-    # dropDuplicates over full winner rows here, re-introducing the payload
-    # exchange it had just eliminated; that reduce stage dominated merge CPU
-    # and was the largest non-scaling term in the r2 scaling diagnosis.)
+    # payload-free job. The common no-dups answer buys a single-branch plan
+    # with NO payload shuffle — the whole point of this strategy. (r1
+    # shipped an unconditional dropDuplicates over full winner rows here,
+    # re-introducing the payload exchange it had just eliminated; that
+    # reduce stage dominated merge CPU and was the largest non-scaling term
+    # in the r2 scaling diagnosis.)
+    #
+    # With a cache_registry the winner tuples are persisted so the gate's
+    # materialization is REUSED by the main plan's broadcast build (instead
+    # of re-running the pass-1 shuffle+aggs); the caller unpersists after
+    # its write job. Payload-free: ~1 tuple/key, tens of MB per million keys.
+    if cache_registry is not None:
+        win = win.persist()
+        cache_registry.append(win)
     has_dups = win.filter(F.col("_w_cnt") > 1).limit(1).count() > 0
     if not has_dups:
         return _semi(df, win)

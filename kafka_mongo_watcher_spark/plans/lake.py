@@ -338,8 +338,9 @@ class LakeTable:
                 strategy = "window"
         elif strategy == "semijoin" and not semijoin_fits:
             strategy = "window"
+        _dedup_caches: list = []
         if strategy == "semijoin":
-            winners = lww_dedup_semijoin(batch)
+            winners = lww_dedup_semijoin(batch, cache_registry=_dedup_caches)
         elif strategy == "salted":
             winners = lww_dedup_salted(batch, n_salts=n_salts)
         else:
@@ -410,6 +411,8 @@ class LakeTable:
                 .parquet(out_dir)
             )
             n_winners = int(obs.get["rows"])
+            for c in _dedup_caches:
+                c.unpersist()
             _mark("dedup_delta_write")
             touched = sorted(
                 int(d.split("=", 1)[1])
@@ -568,6 +571,8 @@ class LakeTable:
             _mark("cow_write")
         finally:
             winners.unpersist()
+            for c in _dedup_caches:
+                c.unpersist()
             sc.setJobDescription(None)
 
         # build the new manifest: touched buckets → new files, rest carried over
