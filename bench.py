@@ -100,9 +100,11 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # warmup: spin up Python/Arrow workers + JIT/codegen so the timed runs
-    # measure steady-state throughput (a long-lived CDC stream's regime)
-    bench_cdc_replay(spark, max(n_events // 20, 5_000), salted=False, n_batches=1)
+    # warmup: spin up Python/Arrow workers + JIT/codegen and provision the
+    # per-batch page working set so the timed runs measure steady-state
+    # throughput (a long-lived CDC stream's regime); batch-sized, same as
+    # BENCH/scaling.py's protocol
+    bench_cdc_replay(spark, max(n_events // 4, 5_000), salted=False, n_batches=1)
 
     t = bench_cdc_replay(spark, n_events, salted=False)
     queries["cdc_replay"] = round(t, 3)
