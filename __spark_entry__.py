@@ -364,7 +364,28 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mh_lsh_banded_oracle() -> str:
+def _dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup resolution: one kept doc (the min id) per connected
+    component of the LSH pair graph — `connected_components` min-label
+    propagation (operators/dedupe_docs.py) vs a DuckDB recursive CTE."""
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import (
+        keep_canonical,
+        minhash_lsh_pairs,
+    )
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, k=_MH)
+    return keep_canonical(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _mh_lsh_pairs_ctes() -> str:
+    """Shared DuckDB CTE prefix (sig → bands → cand → pairs) producing the
+    LSH near-dup pairs with full-signature agreement ≥ k-1 — the exact twin
+    of `minhash_lsh_pairs`. Used by the pair oracle and the connected-
+    components keep_canonical oracle."""
     sig_sql = _minhash_sql("string_split", "list_transform", "list_min", "||", "list_distinct")
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, mh_{i} AS val FROM sig" for i in range(_MH)
@@ -373,15 +394,39 @@ def _mh_lsh_banded_oracle() -> str:
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH)
     )
     return (
-        f"WITH sig AS ({sig_sql}), bands AS ({bands}), "
+        f"sig AS ({sig_sql}), bands AS ({bands}), "
         f"cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
         f"FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val "
-        f"AND a.doc_id < b.doc_id) "
-        f"SELECT c.a_id, c.b_id, "
+        f"AND a.doc_id < b.doc_id), "
+        f"pairs AS (SELECT c.a_id, c.b_id, "
         f"CAST(round(({eqs}) / {float(_MH)}, 4) AS DOUBLE) AS est_jaccard "
         f"FROM cand c JOIN sig sa ON sa.doc_id = c.a_id "
         f"JOIN sig sb ON sb.doc_id = c.b_id "
-        f"WHERE ({eqs}) >= {_MH - 1}"
+        f"WHERE ({eqs}) >= {_MH - 1})"
+    )
+
+
+def _mh_lsh_banded_oracle() -> str:
+    return f"WITH {_mh_lsh_pairs_ctes()} SELECT a_id, b_id, est_jaccard FROM pairs"
+
+
+def _keep_canonical_oracle() -> str:
+    """Exact connected-components resolution of the LSH pairs in DuckDB: a
+    recursive CTE enumerates every (node, reachable root); min(root) per
+    node is the component id; keep docs equal to their component min (docs
+    in no pair keep themselves)."""
+    return (
+        f"WITH RECURSIVE {_mh_lsh_pairs_ctes()}, "
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs "
+        "UNION SELECT b_id, a_id FROM pairs), "
+        "reach(node, root) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node), "
+        "comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node), "
+        "losers AS (SELECT node FROM comp WHERE comp <> node) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT node FROM losers)"
     )
 
 # -- embedding similarity ----------------------------------------------------
@@ -622,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_meta": _media_decode_meta,
         "ann_lsh_topk": _ann_lsh_topk,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
@@ -636,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
+        "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,
     }
     out.update(_DUCK_SQL)

@@ -205,9 +205,68 @@ def ngram_jaccard_pairs(
     )
 
 
-def keep_canonical(df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """Resolve near-dup pairs: drop every doc that appears as the larger id
-    of a pair (keeper = smallest id in each connected pair — single-pass
-    approximation of the union-find canonicalization)."""
-    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    min-label propagation: every node starts labeled with itself; each round
+    each node takes the min label among itself and its neighbors, until a
+    fixpoint. Returns (node, comp) where comp = the component's minimum id.
+
+    Each round is one payload-free shuffle (edges ⋈ labels → min agg), with
+    `localCheckpoint` truncating the plan so the lineage stays O(1) across
+    rounds. Converges in O(component diameter) rounds — near-dup clusters
+    are shallow (most are cliques from a shared LSH bucket, diameter ≤ 3).
+    For adversarially deep graphs swap in the alternating large-star/
+    small-star rounds of Kiveris et al. "Connected Components in MapReduce"
+    (SOCC'14) — same join/agg primitives, O(log n) rounds."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id", exact: bool = True
+) -> DataFrame:
+    """Resolve near-dup pairs: keep exactly one doc (the minimum id) per
+    connected component of the pair graph, via `connected_components`.
+
+    exact=False falls back to the r1 single-pass approximation (drop every
+    doc appearing as the larger id of some pair) — one job instead of an
+    iterative loop, but a component connected only through a high-id hub
+    keeps more than one doc (e.g. pairs (1,3),(2,3) keep both 1 and 2)."""
+    if exact:
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("comp") != F.col("node")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

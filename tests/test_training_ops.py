@@ -88,6 +88,52 @@ def test_ngram_jaccard_and_canonical(spark, docs):
     assert 0 in ids and 100000 not in ids
 
 
+def _uf_components(n_nodes, edges):
+    """Plain-python union-find reference."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {min(v): set(v) for v in comp.values()}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import connected_components
+
+    rng = random.Random(11)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    ref = _uf_components(n, edges)
+    want = {(node, root) for root, mem in ref.items() for node in mem if len(mem) > 1}
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {(r["node"], r["comp"]) for r in connected_components(pairs).collect()}
+    assert got == want  # exact min-label per node, isolated nodes absent
+
+
+def test_keep_canonical_exact_collapses_hub_components(spark):
+    """(1,3),(2,3) is one component via hub 3: exact CC keeps only doc 1;
+    the r1 approximation kept 1 AND 2 (neither appears as a b_id)."""
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "a_id long, b_id long")
+    exact = {r["doc_id"] for r in keep_canonical(docs, pairs).collect()}
+    assert exact == {1, 4}
+    approx = {r["doc_id"] for r in keep_canonical(docs, pairs, exact=False).collect()}
+    assert approx == {1, 2, 4}
+
+
 # ---- similarity search ------------------------------------------------------
 
 def test_brute_force_topk_shape_and_selfmatch(spark, emb):
