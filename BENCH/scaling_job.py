@@ -24,7 +24,14 @@ def main():
     write_mode = sys.argv[3] if len(sys.argv) > 3 else "mor"
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    cores = spark.sparkContext.defaultParallelism
+    # defaultParallelism races executor registration on local-cluster; parse
+    # the master (local-cluster[n,cores,mem]) for the true slot count
+    master = spark.sparkContext.master
+    if master.startswith("local-cluster["):
+        n_ex, ex_cores = master.rstrip("]").split("[")[1].split(",")[:2]
+        cores = int(n_ex) * int(ex_cores)
+    else:
+        cores = spark.sparkContext.defaultParallelism
 
     from kafka_mongo_watcher_spark.datagen import generate_events
     from kafka_mongo_watcher_spark.operators.envelope import transform_events
