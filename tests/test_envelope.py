@@ -17,16 +17,44 @@ def test_insert_envelope_shape(spark):
     """$replaceRoot analog: fixed envelope around each snapshot row
     (replay_producer.go:18-39 golden pipeline)."""
     base = generate_base_table(spark, 300)
-    env = build_insert_envelope(base, partition_id=3)
-    assert set(env.columns) == {
-        "partition_id", "offset", "op", "repo", "path", "commit", "lang",
-        "content_raw", "commit_seq",
-    }
-    rows = env.orderBy("offset").limit(3).collect()
-    assert all(r["op"] == "insert" and r["partition_id"] == 3 for r in rows)
-    # offsets gap-free ascending from 1 (resume-token contract)
-    offs = [r["offset"] for r in rows]
-    assert offs == [1, 2, 3]
+    n_rows = base.count()
+    for ordering in ("arrival", "key"):
+        env = build_insert_envelope(base, ordering=ordering)
+        assert set(env.columns) == {
+            "partition_id", "offset", "op", "repo", "path", "commit", "lang",
+            "content_raw", "commit_seq",
+        }
+        assert env.filter(F.col("op") != "insert").count() == 0
+        # offsets gap-free ascending from 1 PER PARTITION (resume-token
+        # contract: per-partition monotone, watch_producer.go:106-134)
+        per_part = (
+            env.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+                F.count_distinct("offset").alias("d"),
+            )
+            .collect()
+        )
+        assert sum(r["n"] for r in per_part) == n_rows
+        for r in per_part:
+            assert (r["lo"], r["hi"], r["d"]) == (1, r["n"], r["n"]), (ordering, r)
+
+
+def test_insert_envelope_never_single_task(spark, tmp_path):
+    """The r2 scale-killer: a global Window over lit(partition_id) funneled
+    the ENTIRE snapshot through one task (VERDICT r2 §wrong 2). Guard: over a
+    plain parquet scan, the arrival plan has no exchange/window at all (pure
+    projection); the key plan's window exchange is hash-partitioned, never
+    SinglePartition."""
+    generate_base_table(spark, 100).write.parquet(str(tmp_path / "base"))
+    base = spark.read.parquet(str(tmp_path / "base"))
+    plan_arrival = build_insert_envelope(base, ordering="arrival")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_arrival and "Window" not in plan_arrival
+    plan_key = build_insert_envelope(base, ordering="key")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_key
+    assert "hashpartitioning" in plan_key
 
 
 def test_transform_drops_malformed_and_fingerprints(spark):
