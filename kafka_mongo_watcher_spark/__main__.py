@@ -59,6 +59,9 @@ def main(argv=None) -> int:
             source_id=a.source_id,
             max_files_per_trigger=a.max_files_per_trigger,
             salted=a.salted,
+            # K5 parity (main.go:41-51): SIGINT/SIGTERM stop the stream and
+            # exit 0 with a resumable checkpoint
+            handle_signals=True,
         )
         for s in stats:
             if mlog:

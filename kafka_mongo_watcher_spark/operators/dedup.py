@@ -45,7 +45,10 @@ def lww_dedup(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
 
 
 def lww_dedup_semijoin(
-    df: DataFrame, key_cols=KEY_COLS, cache_registry: list | None = None
+    df: DataFrame,
+    key_cols=KEY_COLS,
+    cache_registry: list | None = None,
+    has_dups: bool | None = None,
 ) -> DataFrame:
     """Shuffle-light LWW dedup: the payload never crosses the wire.
 
@@ -99,22 +102,28 @@ def lww_dedup_semijoin(
             cond = eq if cond is None else (cond & eq)
         return src.join(F.broadcast(winners.drop("_w_cnt")), cond, "left_semi")
 
-    # Gate: does ANY winning tuple have >1 physical copies? One tiny
-    # payload-free job. The common no-dups answer buys a single-branch plan
-    # with NO payload shuffle — the whole point of this strategy. (r1
-    # shipped an unconditional dropDuplicates over full winner rows here,
-    # re-introducing the payload exchange it had just eliminated; that
-    # reduce stage dominated merge CPU and was the largest non-scaling term
-    # in the r2 scaling diagnosis.)
+    # Gate: does ANY winning tuple have >1 physical copies? The common
+    # no-dups answer buys a single-branch plan with NO payload shuffle — the
+    # whole point of this strategy. (r1 shipped an unconditional
+    # dropDuplicates over full winner rows here, re-introducing the payload
+    # exchange it had just eliminated; that reduce stage dominated merge CPU
+    # and was the largest non-scaling term in the r2 scaling diagnosis.)
     #
-    # With a cache_registry the winner tuples are persisted so the gate's
-    # materialization is REUSED by the main plan's broadcast build (instead
-    # of re-running the pass-1 shuffle+aggs); the caller unpersists after
-    # its write job. Payload-free: ~1 tuple/key, tens of MB per million keys.
+    # `has_dups` precomputed by the caller (LakeTable.merge folds an exact
+    # duplicate count into its lineage aggregation — same payload-free scan,
+    # ONE job for both) keeps this function a lazy plan builder: zero Spark
+    # jobs at call time. A conservative True (e.g. dups among loser tuples
+    # only) is safe — the dup branch degenerates to the clean semi plus an
+    # empty duped side. With has_dups=None this function runs the gate
+    # EAGERLY as one tiny payload-free job at call time (ADVICE r2); pass a
+    # cache_registry so the gate's pass-1 materialization is REUSED by the
+    # main plan's broadcast build instead of recomputed — the caller
+    # unpersists after its write job. Payload-free: ~1 tuple/key.
     if cache_registry is not None:
         win = win.persist()
         cache_registry.append(win)
-    has_dups = win.filter(F.col("_w_cnt") > 1).limit(1).count() > 0
+    if has_dups is None:
+        has_dups = win.filter(F.col("_w_cnt") > 1).limit(1).count() > 0
     if not has_dups:
         return _semi(df, win)
     # Replayed deliveries present: rows of once-delivered tuples still skip

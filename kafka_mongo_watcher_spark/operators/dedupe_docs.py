@@ -211,24 +211,37 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 50,
+    method: str = "label",
 ) -> DataFrame:
-    """Connected components of the near-dup pair graph by iterative
-    min-label propagation: every node starts labeled with itself; each round
-    each node takes the min label among itself and its neighbors, until a
-    fixpoint. Returns (node, comp) where comp = the component's minimum id.
+    """Connected components of the near-dup pair graph. Returns (node, comp)
+    where comp = the component's minimum id.
 
-    Each round is one payload-free shuffle (edges ⋈ labels → min agg), with
-    `localCheckpoint` truncating the plan so the lineage stays O(1) across
-    rounds. Converges in O(component diameter) rounds — near-dup clusters
-    are shallow (most are cliques from a shared LSH bucket, diameter ≤ 3).
-    For adversarially deep graphs swap in the alternating large-star/
-    small-star rounds of Kiveris et al. "Connected Components in MapReduce"
-    (SOCC'14) — same join/agg primitives, O(log n) rounds."""
+    method="label" (default): iterative min-label propagation — every node
+    starts labeled with itself; each round each node takes the min label
+    among itself and its neighbors, until a fixpoint. Each round is one
+    payload-free shuffle (edges ⋈ labels → min agg), with `localCheckpoint`
+    truncating the plan so the lineage stays O(1) across rounds. Converges
+    in O(eccentricity of the min node) rounds — near-dup clusters are
+    shallow (most are cliques from a shared LSH bucket, diameter ≤ 3).
+
+    method="star": alternating large-star/small-star rounds of Kiveris et
+    al., "Connected Components in MapReduce and Beyond" (SOCC'14, public
+    paper) — each round rewires edges toward each neighborhood's minimum,
+    contracting path-like components in O(log n) rounds instead of O(depth).
+    Same join/agg primitives; use for adversarially deep graphs.
+
+    Both raise RuntimeError if `max_iter` rounds pass without a fixpoint —
+    a silent non-converged return would hand the caller WRONG labels
+    (split components ⇒ keep_canonical keeps extra docs; ADVICE r2)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    if method == "star":
+        return _cc_star(edges, max_iter=max_iter)
+    if method != "label":
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
@@ -248,8 +261,84 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components(method='label') did not converge in "
+        f"{max_iter} rounds — component deeper than max_iter hops; use "
+        f"method='star' (O(log n) rounds) or raise max_iter"
+    )
+
+
+def _cc_star(edges: DataFrame, *, max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14 §3 — public paper).
+
+    Per round, for each node u with neighborhood Γ(u) and
+    m(u) = min(Γ(u) ∪ {u}):
+      large-star: rewire every STRICTLY LARGER neighbor v > u to m(u);
+      small-star: rewire every neighbor v ≤ u, and u itself, to m(u).
+    Both preserve connectivity; the alternation contracts path-like
+    components in O(log n) rounds (vs O(depth) for label propagation).
+    Implemented row-wise — groupBy(u).min join back onto the edge list —
+    so NO per-node neighborhood array is ever materialized (a hub's
+    neighbors stay distributed across reducer rows); every round is two
+    payload-free shuffles, localCheckpoint keeps lineage O(1).
+
+    Termination: fixpoint of the round operator (the small-star parent
+    list stops changing), which the paper proves is a star forest rooted
+    at each component's minimum. Returns (node, comp)."""
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) over a SYMMETRIC edge list; larger neighbors never win the
+        # min, so min(all neighbors, u) == min(smaller neighbors, u)
+        m = e.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+            "src", F.least(F.col("src"), F.col("_mn")).alias("_m")
+        )
+        j = e.join(m, "src")
+        if large:
+            out = j.where(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("_m").alias("dst")
+            )
+        else:
+            out = j.where(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("src"), F.col("_m").alias("dst")
+            ).unionByName(m.select("src", F.col("_m").alias("dst")))
+        return out.where(F.col("src") != F.col("dst")).distinct()
+
+    cur = _sym(edges)
+    prev_small: DataFrame | None = None
+    for _ in range(max_iter):
+        cur = _sym(_star(cur, large=True))
+        small = _star(cur, large=False).localCheckpoint()
+        if prev_small is not None:
+            changed = (
+                small.exceptAll(prev_small).limit(1).count()
+                + prev_small.exceptAll(small).limit(1).count()
+            )
+            if changed == 0:
+                comps = small.select(
+                    F.col("src").alias("node"), F.col("dst").alias("comp")
+                )
+                roots = (
+                    small.select("dst").distinct()
+                    .join(
+                        small.select(F.col("src").alias("dst")).distinct(),
+                        "dst",
+                        "left_anti",
+                    )
+                    .select(F.col("dst").alias("node"), F.col("dst").alias("comp"))
+                )
+                return comps.unionByName(roots).distinct()
+        prev_small = small
+        cur = _sym(small)
+    raise RuntimeError(
+        f"connected_components(method='star') did not converge in {max_iter} rounds"
+    )
 
 
 def keep_canonical(

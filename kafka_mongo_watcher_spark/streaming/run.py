@@ -33,11 +33,22 @@ def run_replay_stream(
     salted: bool = False,
     stop_after_batches: int | None = None,
     metrics_sink: list | None = None,
+    handle_signals: bool = False,
 ) -> list:
     """Run the streaming apply until the log is drained (availableNow) or
     until `stop_after_batches` epochs committed (resume-test hook).
-    Returns the per-batch merge stats (lineage + counts)."""
+    Returns the per-batch merge stats (lineage + counts).
+
+    `handle_signals=True` (CLI mode, main thread only) installs SIGINT/
+    SIGTERM handlers that stop the query and return normally — the K5
+    graceful-shutdown parity (/root/reference/cmd/watcher/main.go:41-51:
+    signal → context cancel → producer drain → clean disconnect, exit 0).
+    The Spark analog: query.stop() ends the stream; an epoch interrupted
+    mid-merge is NOT in the manifest's applied map, so the next start
+    replays it identically from the checkpoint (drain-before-close
+    at-least-once, upgraded to exactly-once by batch-id fencing)."""
     stats: list = metrics_sink if metrics_sink is not None else []
+    stop_requested = {"flag": False}
 
     def apply_batch(batch_df, epoch_id: int):
         table = LakeTable(spark, table_path)  # refresh snapshot pointer
@@ -55,9 +66,29 @@ def run_replay_stream(
         .trigger(availableNow=True)
         .start()
     )
+    restore: dict = {}
+    if handle_signals:
+        import signal
+
+        def _on_signal(signum, frame):  # noqa: ARG001
+            stop_requested["flag"] = True
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — already stopping/stopped
+                pass
+
+        for s in (signal.SIGINT, signal.SIGTERM):
+            restore[s] = signal.signal(s, _on_signal)
     try:
         if stop_after_batches is None:
-            q.awaitTermination()
+            try:
+                q.awaitTermination()
+            except Exception:
+                # a signal-initiated stop can surface as a
+                # StreamingQueryException from the interrupted epoch; that
+                # epoch is uncommitted and will replay from the checkpoint
+                if not stop_requested["flag"]:
+                    raise
         else:
             import time
 
@@ -71,6 +102,11 @@ def run_replay_stream(
     finally:
         if q.isActive:
             q.stop()
+        if restore:
+            import signal
+
+            for s, h in restore.items():
+                signal.signal(s, h)
     return stats
 
 

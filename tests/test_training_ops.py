@@ -121,6 +121,31 @@ def test_connected_components_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {(r["node"], r["comp"]) for r in connected_components(pairs).collect()}
     assert got == want  # exact min-label per node, isolated nodes absent
+    # the star method (Kiveris et al. SOCC'14) agrees exactly
+    star = {
+        (r["node"], r["comp"])
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert star == want
+
+
+def test_connected_components_deep_path_star_vs_label(spark):
+    """A path graph of depth 400: min-label propagation needs ~400 rounds
+    (raises at max_iter=15 instead of silently returning split components —
+    ADVICE r2), while large-star/small-star converges in O(log n) rounds."""
+    import pytest as _pytest
+
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import connected_components
+
+    n = 400
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=15)
+    got = connected_components(pairs, method="star", max_iter=15).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert {r["node"] for r in got} == set(range(n))
 
 
 def test_keep_canonical_exact_collapses_hub_components(spark):
