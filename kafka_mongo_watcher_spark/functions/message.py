@@ -47,6 +47,7 @@ def to_message(
     topic: str = "kmw-events",
     app_name: str = "kmw-spark",
     include_tracing: bool = True,
+    keep_ordering_cols: bool = False,
 ) -> DataFrame:
     """Event rows → (topic, key, value, headers) message rows.
 
@@ -55,7 +56,10 @@ def to_message(
     - `value` is canonical JSON with the reference's field order and
       null-preserving layout (event.go:17-33 marshal);
     - `headers` carries the x-tracing analog (client_tracer.go:42-53) as
-      (key, value) string pairs.
+      (key, value) string pairs;
+    - `keep_ordering_cols=True` retains (partition_id, offset, commit_seq)
+      for sinks that need them (the streaming message sink sorts each
+      topic-partition file by them; a real Kafka sink would drop them).
     """
     df = events.filter(
         F.col("repo").isNotNull()
@@ -105,4 +109,7 @@ def to_message(
         if include_tracing
         else F.array().cast("array<struct<key:string,value:string>>")
     )
-    return out.withColumn("headers", headers).drop("partition_id", "offset", "commit_seq")
+    out = out.withColumn("headers", headers)
+    if keep_ordering_cols:
+        return out
+    return out.drop("partition_id", "offset", "commit_seq")

@@ -1,11 +1,22 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque `binary` columns with a typed metadata struct —
-the Spark-side schema, partitioning, and Arrow batch shape are real and
-tested; the actual codec work is STUBBED (this container has no image/audio
-libraries) behind `_decode_bytes_stub`, which derives deterministic fake
-dimensions/samples from the payload bytes. Swap the stub for PIL/ffmpeg
-calls on a real cluster; every signature stays the same.
+Media payloads are opaque `binary` columns with a typed metadata struct.
+The Spark-side schema, partitioning, and Arrow batch shape are real and
+tested, and — since r3 — so is the decode for two containers this sandbox
+can parse WITHOUT codec libraries:
+
+- **BMP** (24-bpp uncompressed, BITMAPINFOHEADER): full byte-level parse —
+  file/info headers validated against the payload length, pixel rows
+  (bottom-up, 4-byte padded, BGR) decoded via numpy, body statistics
+  (mean pixel value) computed from the actual pixels;
+- **WAV** (RIFF/PCM 16-bit): fmt/data chunks parsed, duration derived from
+  the sample count/rate, RMS computed from the actual samples.
+
+Anything else (JPEG/PNG/MP3/H264 need real codec libs absent from this
+container) falls back to `_decode_bytes_stub`, a clearly-marked
+deterministic fake, so pipelines over mixed corpora keep flowing — the
+reference's decode-error tolerance. Swap the fallback for PIL/ffmpeg on a
+real cluster; every signature stays the same.
 
 All operators are `mapInPandas` iterators: one Arrow batch in, one out, so
 decode cost amortizes across the batch and memory stays bounded by
@@ -15,6 +26,7 @@ decode cost amortizes across the batch and memory stays bounded by
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -24,20 +36,115 @@ from pyspark.sql import functions as F
 
 MEDIA_META_DDL = (
     "media_type string, width int, height int, n_channels int, "
-    "duration_ms int, codec string"
+    "duration_ms int, codec string, body_mean double"
 )
 
-_DECODE_IS_STUB = True  # flip when real codecs are wired in
+# BMP + WAV decode is REAL (byte-level container parse, numpy body math);
+# formats needing codec libraries still stub.
+_DECODE_IS_STUB = False
+DECODE_REAL_FORMATS = ("bmp", "wav")
+
+
+# ---------------------------------------------------------------------------
+# real codecs (public container formats: Windows BMP spec, RIFF/WAVE spec)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Build a real 24-bpp bottom-up BMP (constant fill). Test/datagen
+    helper: the bytes round-trip through _decode_bmp."""
+    row_len = (width * 3 + 3) & ~3
+    img_size = row_len * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    row = (bytes([rgb[2] % 256, rgb[1] % 256, rgb[0] % 256]) * width).ljust(row_len, b"\0")
+    return header + row * height
+
+
+def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
+    """Build a real RIFF/PCM-16 mono WAV: an alternating-sign square wave of
+    constant |amplitude| (so RMS == amplitude exactly)."""
+    samples = np.full(n_samples, amplitude, dtype=np.int16)
+    samples[1::2] *= -1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def _decode_bmp(p: bytes) -> dict:
+    """Strict 24-bpp BMP parse: header fields validated against the payload
+    (a text blob that merely starts with 'BM' fails validation and falls
+    through to the stub)."""
+    if len(p) < 54:
+        raise ValueError("short bmp")
+    magic, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", p, 0)
+    (hdr, width, height, planes, bpp, comp, img_size, *_rest) = struct.unpack_from(
+        "<IiiHHII", p, 14
+    )
+    if magic != b"BM" or hdr < 40 or planes != 1 or comp != 0 or bpp != 24:
+        raise ValueError("unsupported bmp")
+    if width <= 0 or height == 0 or file_size != len(p):
+        raise ValueError("corrupt bmp header")
+    h = abs(height)
+    row_len = (width * 3 + 3) & ~3
+    if data_off + row_len * h > len(p):
+        raise ValueError("truncated bmp body")
+    rows = np.frombuffer(p, dtype=np.uint8, offset=data_off, count=row_len * h)
+    px = rows.reshape(h, row_len)[:, : width * 3]  # strip row padding
+    return {
+        "media_type": "image",
+        "width": width,
+        "height": h,
+        "n_channels": 3,
+        "duration_ms": None,
+        "codec": "bmp",
+        "body_mean": float(px.mean()),
+    }
+
+
+def _decode_wav(p: bytes) -> dict:
+    """RIFF/PCM WAV parse: walks chunks, requires PCM 16-bit, computes RMS
+    over the actual samples."""
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not riff/wave")
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(p):
+        cid, sz = struct.unpack_from("<4sI", p, off)
+        body = p[off + 8 : off + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate <= 0:
+        raise ValueError("unsupported wav encoding")
+    samples = np.frombuffer(data, dtype="<i2")
+    n_frames = len(samples) // n_ch
+    return {
+        "media_type": "audio",
+        "width": None,
+        "height": None,
+        "n_channels": n_ch,
+        "duration_ms": int(n_frames * 1000 // rate),
+        "codec": "pcm_s16le",
+        "body_mean": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+    }
 
 
 def _decode_bytes_stub(payload: bytes) -> dict:
-    """STUB decode: deterministic pseudo-metadata from the payload bytes.
-
-    A real implementation would parse the container header (PIL.Image.open /
-    soundfile / pyav). The fake is a pure function of the bytes so tests are
-    reproducible and the full Spark plumbing (schema, batching, null
-    handling) is exercised for real.
-    """
+    """STUB decode for formats whose codecs aren't in this container:
+    deterministic pseudo-metadata from the payload bytes, so tests are
+    reproducible and the Spark plumbing (schema, batching, null handling)
+    is exercised for real. Swap for PIL/ffmpeg on a real cluster."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: real decoder would raise codec error")
     h = hashlib.sha256(payload).digest()
@@ -48,7 +155,27 @@ def _decode_bytes_stub(payload: bytes) -> dict:
         "n_channels": 1 + h[3] % 4,
         "duration_ms": int.from_bytes(h[4:7], "big") % 600_000,
         "codec": ["raw", "jpegish", "wavish", "h264ish"][h[7] % 4],
+        "body_mean": None,
     }
+
+
+def _decode_bytes(payload: bytes) -> dict:
+    """Magic-byte dispatch: real BMP/WAV parse, stub for everything else.
+    A payload that merely LOOKS like a container (e.g. text starting with
+    'BM') fails strict header validation and uses the stub."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload")
+    if payload[:2] == b"BM":
+        try:
+            return _decode_bmp(payload)
+        except ValueError:
+            pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return _decode_wav(payload)
+        except ValueError:
+            pass
+    return _decode_bytes_stub(payload)
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -66,7 +193,7 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             metas = []
             for p in pdf[payload_col]:
                 try:
-                    metas.append(_decode_bytes_stub(p))
+                    metas.append(_decode_bytes(p))
                 except (NotImplementedError, TypeError):
                     metas.append(None)
             pdf = pdf.copy()
@@ -122,6 +249,44 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", n_frames: int = 4
                 frames.append([bytes(p[i * step : i * step + step]) for i in range(n_frames)])
             pdf = pdf.copy()
             pdf["frames"] = frames
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def synthesize_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL container payload per row (mapInPandas): even ids get a
+    24-bpp BMP, odd ids a PCM-16 WAV, with every parameter a closed-form
+    function of the id — so an external oracle (DuckDB SQL) can verify the
+    DECODED values without parsing a single byte:
+
+      even i: BMP  w=4+i%13, h=3+i%9, fill rgb=(i, 3i+7, 5i+11) mod 256
+              ⇒ body_mean = (r+g+b)/3
+      odd  i: WAV  n=50+i%100 samples @ 8000+(i%5)*1000 Hz, square wave of
+              |amplitude| = 1000+i%2000 ⇒ body_mean (RMS) = amplitude
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for v in pdf[id_col]:
+                i = int(v)
+                if i % 2 == 0:
+                    payloads.append(
+                        encode_bmp(
+                            4 + i % 13, 3 + i % 9,
+                            (i % 256, (3 * i + 7) % 256, (5 * i + 11) % 256),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_wav(50 + i % 100, 8000 + (i % 5) * 1000, 1000 + i % 2000)
+                    )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)

@@ -155,6 +155,10 @@ class LakeTable:
             self.manifest = json.load(f)
         self.manifest.setdefault("write_mode", "cow")  # pre-MOR manifests
         self.manifest.setdefault("deltas", {})
+        # sidecar blobs are immutable (named by version+section+bucket), so
+        # the resolution cache survives refresh()
+        if not hasattr(self, "_sidecar_cache"):
+            self._sidecar_cache: dict[str, list[str]] = {}
 
     def refresh(self) -> "LakeTable":
         self._load()
@@ -176,11 +180,57 @@ class LakeTable:
 
     # ---------- reads ----------
 
+    def _entry_files(self, section: str, b: str) -> list[str]:
+        """Resolve one bucket entry: inline list, or {"ref", "n"} sidecar
+        pointer (the main manifest stays O(buckets); per-bucket file lists
+        live in immutable blob files under _manifests/blobs — the Iceberg
+        manifest-file indirection. VERDICT r2 §next 9: one flat JSON holding
+        every file path of every bucket is a driver-memory/IO hazard at 10^5
+        files; unchanged buckets now carry their pointer forward so commit
+        IO is O(changed buckets))."""
+        e = self.manifest[section].get(b, [])
+        if isinstance(e, list):
+            return e
+        ref = e["ref"]
+        if ref not in self._sidecar_cache:
+            with open(os.path.join(self.path, "_manifests", ref)) as f:
+                self._sidecar_cache[ref] = json.load(f)
+        return self._sidecar_cache[ref]
+
+    @staticmethod
+    def _entry_count(e) -> int:
+        return len(e) if isinstance(e, list) else e["n"]
+
+    def _externalize(self, section: str, entries: dict, version: int) -> dict:
+        """Spill any INLINE entry with more files than the inline cap out to
+        an immutable sidecar blob. Entries already in ref form (carried over
+        from the previous manifest, bucket unchanged) are kept verbatim —
+        zero IO for unchanged buckets."""
+        cap = int(_conf(self.spark, "kmw.manifest.inlineMaxFilesPerBucket", "8"))
+        out = {}
+        blob_dir = os.path.join(self.path, "_manifests", "blobs")
+        for b, e in entries.items():
+            if isinstance(e, list) and len(e) > cap:
+                os.makedirs(blob_dir, exist_ok=True)
+                ref = os.path.join("blobs", f"v{version:08d}_{section}_{b}.json")
+                tmp = os.path.join(self.path, "_manifests", ref) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(e, f)
+                os.replace(tmp, os.path.join(self.path, "_manifests", ref))
+                self._sidecar_cache[ref] = list(e)
+                out[b] = {"ref": ref, "n": len(e)}
+            else:
+                out[b] = e
+        return out
+
     def _files_of(self, section: str, bucket_ids=None) -> list[str]:
         m = self.manifest[section]
-        ids = [str(b) for b in bucket_ids] if bucket_ids is not None else None
-        keys = ids if ids is not None else list(m)
-        return [os.path.join(self.path, f) for b in keys for f in m.get(b, [])]
+        keys = [str(b) for b in bucket_ids] if bucket_ids is not None else list(m)
+        return [
+            os.path.join(self.path, f)
+            for b in keys
+            for f in (self._entry_files(section, b) if b in m else [])
+        ]
 
     def _bucket_files(self, bucket_ids=None) -> list[str]:
         return self._files_of("buckets", bucket_ids)
@@ -482,17 +532,18 @@ class LakeTable:
                 for d in os.listdir(out_dir)
                 if d.startswith("_bucket=")
             ) if os.path.isdir(out_dir) else []
-            new_deltas = {k: list(v) for k, v in self.manifest["deltas"].items()}
+            new_deltas = dict(self.manifest["deltas"])  # refs carried verbatim
             written = 0
             for b in touched:
                 files = self._ls_bucket(out_dir, rel_dir, b)
                 written += len(files)
                 if files:
-                    new_deltas[str(b)] = new_deltas.get(str(b), []) + files
+                    new_deltas[str(b)] = self._entry_files("deltas", str(b)) + files
             lineage = {
                 str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
                 for r in lineage_rows
             }
+            new_deltas = self._externalize("deltas", new_deltas, new_version)
             new_manifest = {
                 "version": new_version,
                 "n_buckets": self.n_buckets,
@@ -502,7 +553,7 @@ class LakeTable:
                 "deltas": new_deltas,
                 "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
                 "lineage": lineage,
-                "stats": {"delta_files": sum(len(v) for v in new_deltas.values())},
+                "stats": {"delta_files": sum(self._entry_count(v) for v in new_deltas.values())},
             }
             self._commit(new_manifest)
             _mark("manifest_commit")
@@ -653,6 +704,7 @@ class LakeTable:
             str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
             for r in lineage_rows
         }
+        new_buckets = self._externalize("buckets", new_buckets, new_version)
         new_manifest = {
             "version": new_version,
             "n_buckets": self.n_buckets,
@@ -662,7 +714,7 @@ class LakeTable:
             "deltas": dict(self.manifest["deltas"]),
             "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
             "lineage": lineage,
-            "stats": {"files": sum(len(v) for v in new_buckets.values())},
+            "stats": {"files": sum(self._entry_count(v) for v in new_buckets.values())},
         }
         self._commit(new_manifest)
         _mark("manifest_commit")
@@ -730,8 +782,8 @@ class LakeTable:
             new_deltas.pop(str(b), None)  # delta chain folded in
         manifest = dict(self.manifest)
         manifest["version"] = new_version
-        manifest["buckets"] = new_buckets
-        manifest["deltas"] = new_deltas
+        manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
+        manifest["deltas"] = self._externalize("deltas", new_deltas, new_version)
         self._commit(manifest)
         return {"version": new_version, "buckets": len(ids)}
 

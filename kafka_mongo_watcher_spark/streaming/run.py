@@ -144,3 +144,82 @@ def run_with_retries(
                 on_retry(attempt, e)
             if retry_delay > 0:
                 do_sleep(retry_delay)
+
+
+def run_message_stream(
+    spark: SparkSession,
+    *,
+    log_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    topic: str = "kmw-events",
+    n_topic_partitions: int = 8,
+    max_files_per_trigger: int = 1,
+    app_name: str = "kmw-spark",
+) -> list:
+    """Streaming message EMISSION — the reference's actual product surface
+    (transformer → kafka producer, /root/reference/internal/app/watcher.go:
+    23-42), as a lifecycle, not just the batch `to_message` projection.
+
+    Kafka stand-in (no broker in this sandbox): each micro-batch's messages
+    are written as key/value parquet under
+    `out_dir/epoch=<id>/t_partition=<p>/`, where t_partition =
+    pmod(xxhash64(key), n_topic_partitions) — the Kafka hash-partitioner
+    (client.go:29-31). Guarantees mirrored and tested:
+    - same key → same t_partition in EVERY epoch (per-document total order
+      downstream, K1);
+    - within one (epoch, t_partition) file messages are sorted by
+      (commit_seq, offset), so reading epoch dirs in order replays each
+      key's changes in order;
+    - exactly-once per epoch: an epoch directory already committed (marked
+      by Spark's own _SUCCESS) is skipped on checkpoint replay — the
+      foreachBatch idempotence contract (a real Kafka sink is at-least-once
+      + drain-before-close, client.go:57-63; the fencing here upgrades the
+      file stand-in to exactly-once).
+    On a real cluster swap the body for
+    `msgs.selectExpr(...).write.format("kafka")` and drop the fencing.
+    Returns per-epoch emission stats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.functions.message import to_message
+
+    stats: list = []
+
+    def emit(batch_df, epoch_id: int):
+        epoch_dir = os.path.join(out_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            stats.append({"epoch": epoch_id, "skipped": True})
+            return
+        msgs = to_message(
+            transform_events(batch_df, fingerprint=False, with_lineage=False),
+            topic=topic,
+            app_name=app_name,
+            keep_ordering_cols=True,
+        ).withColumn(
+            "t_partition",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(n_topic_partitions)).cast("int"),
+        )
+        (
+            msgs.repartition(n_topic_partitions, "t_partition")
+            .sortWithinPartitions("t_partition", "commit_seq", "offset")
+            .write.mode("overwrite")
+            .partitionBy("t_partition")
+            .parquet(epoch_dir)
+        )
+        stats.append({"epoch": epoch_id, "skipped": False})
+
+    events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    q = (
+        events.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return stats

@@ -69,3 +69,61 @@ def test_restart_after_completion_is_noop(spark, tmp_path):
     stats = run_replay_stream(spark, **kwargs)  # drained log → no new epochs
     assert all(s.get("skipped") for s in stats)
     assert t.refresh().version == v
+
+
+def test_message_stream_per_key_partition_ordering(spark, tmp_path):
+    """Streaming message emission (K1 keyed produce as a lifecycle): same
+    key lands in the same topic-partition every epoch, each (epoch,
+    t_partition) file is sorted by (commit_seq, offset), and checkpoint
+    replay never re-emits a committed epoch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.streaming.run import run_message_stream
+
+    ev = generate_events(spark, 2500)
+    write_event_log(ev, str(tmp_path / "log"), n_chunks=3)
+    kwargs = dict(
+        log_dir=str(tmp_path / "log"),
+        out_dir=str(tmp_path / "msgs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_topic_partitions=4,
+    )
+    stats = run_message_stream(spark, **kwargs)
+    assert [s["epoch"] for s in stats if not s.get("skipped")] == [0, 1, 2]
+
+    msgs = spark.read.parquet(str(tmp_path / "msgs"))
+    assert {"topic", "key", "value", "headers", "t_partition", "epoch"} <= set(msgs.columns)
+    # key → exactly one t_partition across all epochs (Kafka hash contract)
+    assert (
+        msgs.groupBy("key")
+        .agg(F.count_distinct("t_partition").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    # total emission = all well-keyed events
+    n_events = ev.filter(F.col("repo").isNotNull() & F.col("path").isNotNull()).count()
+    assert msgs.count() == n_events
+
+    # per-(epoch, t_partition) files are internally ordered
+    for d in sorted(os.listdir(str(tmp_path / "msgs"))):
+        if not d.startswith("epoch="):
+            continue
+        for p in sorted(os.listdir(str(tmp_path / "msgs" / d))):
+            if not p.startswith("t_partition="):
+                continue
+            pdf = spark.read.parquet(str(tmp_path / "msgs" / d / p)).select(
+                "commit_seq", "offset"
+            ).toPandas()
+            seqs = list(zip(pdf["commit_seq"], pdf["offset"]))
+            assert seqs == sorted(seqs), (d, p)
+
+    # fencing: wipe the checkpoint → epochs replay from 0 but committed
+    # epoch dirs are skipped, nothing double-emitted
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stats2 = run_message_stream(spark, **kwargs)
+    assert all(s.get("skipped") for s in stats2)
+    assert spark.read.parquet(str(tmp_path / "msgs")).count() == n_events

@@ -322,3 +322,38 @@ def test_spark_xxhash64_ints_matches_spark_expression(spark):
     row = spark.range(1).select(*exprs).first()
     for i, (s, p, j) in enumerate(grid):
         assert row[f"h{i}"] == spark_xxhash64_ints([s, p, j]), (s, p, j)
+
+
+def test_real_container_decode_roundtrip(spark):
+    """BMP/WAV are REALLY decoded (byte-level header parse + numpy body
+    reduction), not stubbed: encode with known parameters → decode →
+    exact metadata and body statistics; junk that merely starts with a
+    container magic falls back to the deterministic stub."""
+    from kafka_mongo_watcher_spark.functions.multimodal import (
+        _DECODE_IS_STUB,
+        decode_media,
+        encode_bmp,
+        encode_wav,
+    )
+
+    assert _DECODE_IS_STUB is False
+    rows = [
+        (1, bytearray(encode_bmp(7, 5, (100, 150, 200)))),
+        (2, bytearray(encode_wav(200, 16000, 2500))),
+        (3, bytearray(b"BM but actually just text, not a bitmap at all....")),
+        (4, None),
+        (5, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r["meta"] for r in decode_media(df).collect()}
+    bmp = out[1]
+    assert (bmp["media_type"], bmp["width"], bmp["height"], bmp["codec"]) == (
+        "image", 7, 5, "bmp")
+    assert abs(bmp["body_mean"] - (100 + 150 + 200) / 3.0) < 1e-9
+    wav = out[2]
+    assert (wav["media_type"], wav["n_channels"], wav["codec"]) == (
+        "audio", 1, "pcm_s16le")
+    assert wav["duration_ms"] == 200 * 1000 // 16000
+    assert abs(wav["body_mean"] - 2500.0) < 1e-9
+    assert out[3]["codec"] in {"raw", "jpegish", "wavish", "h264ish"}  # stub fallback
+    assert out[4] is None and out[5] is None  # null tolerance preserved
