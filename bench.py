@@ -140,6 +140,18 @@ def main() -> None:
         "events_per_sec": round(events_per_sec, 1),
         "total_sec": total,
         "cpus": int(cpus),
+        # exact knob settings per mode, so future A/Bs are attributable
+        # (VERDICT r2 §next 10: cow silently shared mor's bucket count)
+        "config": {
+            "master": master,
+            "n_batches": 4,
+            "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64, "cdc_replay_cow": 64},
+            "write_mode": {"cdc_replay": "mor", "cdc_replay_salted": "mor", "cdc_replay_cow": "cow"},
+            "dedup_strategy": {"cdc_replay": "auto(semijoin)", "cdc_replay_salted": "salted", "cdc_replay_cow": "auto(semijoin)"},
+            "mor_compact_included": True,
+            "shuffle_partitions": max(int(cpus) * 2, 16),
+            "max_partition_bytes": 33554432,
+        },
     }))
     spark.stop()
 
