@@ -562,7 +562,15 @@ class LakeTable:
             # chain grew past the cap back into its base (bucket-local
             # rewrite — never the whole table)
             max_deltas = int(_conf(self.spark, "kmw.mor.maxDeltasPerBucket", "8"))
-            over = [int(b) for b, fs in new_deltas.items() if len(fs) > max_deltas]
+            # _entry_count, NOT len(): once a delta list is externalized to a
+            # sidecar ref {"ref","n"} its len() is 2 — comparing that against
+            # the cap would silently disable auto-compaction for exactly the
+            # buckets whose chains grew long enough to need it
+            over = [
+                int(b)
+                for b, fs in new_deltas.items()
+                if self._entry_count(fs) > max_deltas
+            ]
             if over:
                 self.compact_buckets(over)
                 _mark("auto_compact")
@@ -748,6 +756,49 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def _bucket_local_resolve(
+        self, ids: list[int], *, purge_tombstones: bool
+    ) -> DataFrame:
+        """Base+delta LWW resolution in ONE shuffle, keyed on the BUCKET.
+
+        The naive plan (read_buckets → repartition by bucket) moves the
+        payload twice: the per-key resolution window hash-shuffles on
+        (repo, path), then the write layout repartitions on _bucket. But a
+        key's rows can only ever live in that key's bucket files, so
+        bucket-locality implies key-locality: shuffle ONCE on _bucket, sort
+        each partition by (bucket, key, commit_seq desc, offset desc), and
+        keep the first row of each key run — `lag()` over the same window
+        spec reuses the bucket exchange AND the sort, so Catalyst plans
+        exactly one Exchange (asserted in test_lake_mor). At 100 TB this
+        halves compaction's network bytes."""
+        ids_s = [str(b) for b in ids]
+        df = self._read_files(
+            self._files_of("buckets", ids_s) + self._files_of("deltas", ids_s)
+        ).withColumn("_bucket", self._bucket_expr())
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_bucket").orderBy(
+            F.col("repo"),
+            F.col("path"),
+            F.col("commit_seq").desc(),
+            F.col("offset").desc(),
+        )
+        out = (
+            df.repartition(max(len(ids), 1), "_bucket")
+            .withColumn("_prev_repo", F.lag("repo").over(w))
+            .withColumn("_prev_path", F.lag("path").over(w))
+            .filter(
+                ~(
+                    F.col("_prev_repo").eqNullSafe(F.col("repo"))
+                    & F.col("_prev_path").eqNullSafe(F.col("path"))
+                )
+            )
+            .drop("_prev_repo", "_prev_path")
+        )
+        if purge_tombstones:
+            out = out.filter(~F.col("is_deleted"))
+        return out
+
     def compact_buckets(
         self, bucket_ids: list[int], *, purge_tombstones: bool = False
     ) -> dict:
@@ -756,9 +807,7 @@ class LakeTable:
         bounded WITHOUT ever rewriting the whole table — only the listed
         buckets move (Iceberg rewrite_data_files scoped by partition)."""
         ids = sorted({int(b) for b in bucket_ids})
-        df = self.read_buckets(ids).withColumn("_bucket", self._bucket_expr())
-        if purge_tombstones:
-            df = df.filter(~F.col("is_deleted"))
+        df = self._bucket_local_resolve(ids, purge_tombstones=purge_tombstones)
         new_version = self.version + 1
         rel_dir = os.path.join("data", f"v{new_version:08d}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -766,9 +815,7 @@ class LakeTable:
             f"compact: {len(ids)} buckets → v{new_version}"
         )
         try:
-            df.repartition(max(len(ids), 1), "_bucket").write.mode(
-                "overwrite"
-            ).partitionBy("_bucket").parquet(out_dir)
+            df.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         finally:
             self.spark.sparkContext.setJobDescription(None)
         new_buckets = dict(self.manifest["buckets"])

@@ -258,3 +258,48 @@ def test_manifest_sidecars_keep_main_manifest_o_buckets(spark, tmp_path):
         assert len(_state(t)) == 50
     finally:
         spark.conf.unset("kmw.manifest.inlineMaxFilesPerBucket")
+
+
+def test_auto_compaction_fires_across_sidecar_externalization(spark, tmp_path):
+    """Regression: the auto-compact gate must count delta files via
+    _entry_count, not len() — an externalized delta entry is a {"ref","n"}
+    dict whose len() is always 2, which silently disabled auto-compaction
+    for exactly the buckets whose chains grew past the inline cap."""
+    spark.conf.set("kmw.manifest.inlineMaxFilesPerBucket", "0")
+    spark.conf.set("kmw.mor.maxDeltasPerBucket", "3")
+    try:
+        t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2, write_mode="mor")
+        for i in range(8):
+            t.merge(
+                _batch(spark, [_row("update", "r", "p", i + 1, f"v{i + 1}")]),
+                source_id="s", batch_id=i,
+            )
+            # every delta entry is externalized (inline cap 0), yet chains
+            # must still fold once they exceed maxDeltasPerBucket
+            assert all(
+                t._entry_count(e) <= 3 for e in t.manifest["deltas"].values()
+            ), t.manifest["deltas"]
+        assert _state(t) == {("r", "p"): ("commit8", "v8", 8)}
+    finally:
+        spark.conf.unset("kmw.manifest.inlineMaxFilesPerBucket")
+        spark.conf.unset("kmw.mor.maxDeltasPerBucket")
+
+
+def test_compaction_plan_is_single_shuffle(spark, tmp_path):
+    """Compaction resolves base+delta LWW bucket-locally: ONE Exchange (on
+    _bucket), never a second key-hash shuffle — a key's rows only live in
+    its own bucket, so bucket-locality already implies key-locality."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor")
+    t.merge(_batch(spark, [_row("insert", "r", f"p{i}", 1) for i in range(40)]),
+            source_id="s", batch_id=0)
+    t.merge(_batch(spark, [_row("update", "r", f"p{i}", 2, "v2") for i in range(0, 40, 3)]),
+            source_id="s", batch_id=1)
+    ids = sorted(int(b) for b in set(t.manifest["buckets"]) | set(t.manifest["deltas"]))
+    plan = t._bucket_local_resolve(ids, purge_tombstones=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(repo" not in plan, plan
+    # and the folded result equals the pre-compaction resolved state
+    before = _state(t)
+    t.compact()
+    assert not t.manifest["deltas"]
+    assert _state(t) == before
