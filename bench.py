@@ -102,9 +102,11 @@ def main() -> None:
 
     # warmup: spin up Python/Arrow workers + JIT/codegen and provision the
     # per-batch page working set so the timed runs measure steady-state
-    # throughput (a long-lived CDC stream's regime); batch-sized, same as
-    # BENCH/scaling.py's protocol
-    bench_cdc_replay(spark, max(n_events // 4, 5_000), salted=False, n_batches=1)
+    # throughput (a long-lived CDC stream's regime). TWO batch-sized merges:
+    # alternated A/B profiling showed one batch leaves C2 JIT tiers still
+    # compiling through the first timed run — the first-measured mode read
+    # ~40% slower than the identical path measured later in the session.
+    bench_cdc_replay(spark, max(n_events // 2, 10_000), salted=False, n_batches=2)
 
     t = bench_cdc_replay(spark, n_events, salted=False)
     queries["cdc_replay"] = round(t, 3)
