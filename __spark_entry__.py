@@ -104,6 +104,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution under exactly-once apply (north_rule: "added columns such
+# as lang handled by schema merging"). The first half of the stream is
+# applied from a chunk that PHYSICALLY lacks `lang` (pre-evolution schema,
+# table created without the column); the second half carries it. Final state:
+# keys last written pre-evolution read NULL lang, post-evolution winners keep
+# theirs — byte-equal to the DuckDB oracle twin below.
+# Mirrors the watcher passing unknown payload fields through untouched
+# (/root/reference/internal/mongo/event.go:31-33).
+# ---------------------------------------------------------------------------
+
+def _cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    # bounded driver scalar (one BIGINT), same split the oracle computes
+    split = log.agg(F.max("commit_seq")).collect()[0][0] // 2 + 1
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_evo_"), n_buckets=16,
+        user_schema=[
+            ("repo", "string"), ("path", "string"), ("commit", "string"),
+            ("content", "string"), ("content_sha256", "string"),
+        ],
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") < split).drop("lang")),
+        source_id="evo", batch_id=0,
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") >= split)),
+        source_id="evo", batch_id=1,
+    )
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+
+
+_CDC_EVOLUTION_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log
+), split AS (
+  SELECT CAST(MAX(event_id) AS BIGINT) // 2 + 1 AS s FROM events
+)
+SELECT repo, path, commit,
+       CASE WHEN commit_seq >= (SELECT s FROM split) THEN lang END AS lang,
+       sha256(content_raw || chr(10)) AS content_sha256,
+       commit_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
 # queries / oracle pairs
 # ---------------------------------------------------------------------------
 
@@ -709,6 +775,7 @@ FROM log
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
+        "cdc_schema_evolution": _cdc_schema_evolution,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
         "media_decode_real": _media_decode_real,
@@ -725,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
+        "cdc_schema_evolution": _CDC_EVOLUTION_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
         "media_decode_real": _MEDIA_DECODE_REAL_ORACLE,
