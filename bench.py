@@ -101,12 +101,16 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # warmup: spin up Python/Arrow workers + JIT/codegen and provision the
-    # per-batch page working set so the timed runs measure steady-state
-    # throughput (a long-lived CDC stream's regime). TWO batch-sized merges:
-    # alternated A/B profiling showed one batch leaves C2 JIT tiers still
-    # compiling through the first timed run — the first-measured mode read
-    # ~40% slower than the identical path measured later in the session.
-    bench_cdc_replay(spark, max(n_events // 2, 10_000), salted=False, n_batches=2)
+    # FULL page working set so the timed runs measure steady-state throughput
+    # (a long-lived CDC stream's regime). The warmup must be the identical
+    # shape and size as the timed run: half-size warmups left the first
+    # timed run paying first-touch page provisioning for the remaining
+    # footprint (~0.1 GB/s on this VM) — measured 64.7 s for the first
+    # full-size run vs 38.0 s for the second and 33.7 s for the third,
+    # after TWO half-size warmups. Two full-size warmups reach the
+    # steady-state asymptote; the third identical run is the timed one.
+    bench_cdc_replay(spark, n_events, salted=False)
+    bench_cdc_replay(spark, n_events, salted=False)
 
     t = bench_cdc_replay(spark, n_events, salted=False)
     queries["cdc_replay"] = round(t, 3)
