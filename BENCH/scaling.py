@@ -399,7 +399,8 @@ Method notes:
   shuffle → parquet into ONE payload pass (no persist, no count job).
   Skewed keys are covered by the salted two-phase path + AQE skew-join
   (tested equivalent).
-- Same shuffle-partition count per core (2x), same 32 MiB scan splits, RAM
+- Same shuffle-partition count per core (2x), same 16 MiB scan splits
+  (one ~15 MB datagen file per task — even waves at both levels), RAM
   -backed local dirs (per-node NVMe stand-in) at both levels.
 - Single-host caveat: all executors share one memory bus, one OS page
   cache, and one lazily-provisioning hypervisor page pool (~0.1 GB/s first
