@@ -772,6 +772,38 @@ FROM log
 """
 
 
+_CUSTOM_PIPELINE_JSON = (
+    '[ {"$match": {"event_type": {"$in": ["error", "click"]},'
+    '              "value": {"$gt": 150.0}}},'
+    '  {"$addFields": {"source": "kmw", "uid_copy": "$user_id",'
+    '                  "stamp": "%currentTimestamp%", "value_r": "$value"}},'
+    '  {"$unset": ["value", "ts", "props"]} ]'
+)
+
+
+def _cdc_custom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3 as one surface: the reference's MONGODB_CUSTOM_PIPELINE —
+    a user JSON pipeline with $match + $addFields and %currentTimestamp%
+    substitution (README.md:94, replay_producer_test.go:175,
+    variables/replace.go:24-30) — compiled to Catalyst by
+    operators/pipeline.py. The $match reaches the parquet scan as pushed
+    filters (the Spark analog of Mongo evaluating the stage server-side);
+    the clock is pinned so the oracle can reproduce the substituted bytes."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(ev, _CUSTOM_PIPELINE_JSON, now=lambda: 1700000000)
+
+
+_CDC_CUSTOM_PIPELINE_ORACLE = """
+SELECT event_id, user_id, event_type,
+       'kmw' AS source, user_id AS uid_copy,
+       '1700000000000' AS stamp, "value" AS value_r
+FROM events
+WHERE event_type IN ('error', 'click') AND "value" > 150.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
@@ -783,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
+        "cdc_custom_pipeline": _cdc_custom_pipeline,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -800,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,
+        "cdc_custom_pipeline": _CDC_CUSTOM_PIPELINE_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out

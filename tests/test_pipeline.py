@@ -1,0 +1,171 @@
+"""Custom aggregation-pipeline compiler (F1+F2+F3 unified surface).
+
+Golden cases mirror the reference's pipeline tests:
+  - watch_producer_test.go:149-199 / replay_producer_test.go:175 —
+    `$match` on a nested document path prepended to the stream pipeline.
+  - README.md:94 — `$match` + `$addFields` literal enrichment.
+  - variables/replace_test.go — %currentTimestamp% substituted into the raw
+    JSON before parsing (string-typed result, ms units at second resolution).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.operators.pipeline import (
+    apply_pipeline,
+    compile_match,
+    compile_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(op="insert", repo="r1", path="a.py", n=1,
+                fullDocument=Row(active=True, lang="py")),
+            Row(op="update", repo="r1", path="b.py", n=5,
+                fullDocument=Row(active=False, lang="py")),
+            Row(op="delete", repo="r2", path="c.go", n=9,
+                fullDocument=Row(active=True, lang="go")),
+            Row(op="insert", repo="r2", path="d.go", n=None,
+                fullDocument=Row(active=None, lang=None)),
+        ]
+    )
+
+
+def test_match_nested_path_golden(docs):
+    # watch_producer_test.go:166: [ { "$match": {"fullDocument.active": true} } ]
+    out = apply_pipeline(docs, '[ { "$match": {"fullDocument.active": true} } ]')
+    assert sorted(r.path for r in out.collect()) == ["a.py", "c.go"]
+
+
+def test_readme_match_plus_addfields_golden(docs):
+    # README.md:94 shape: $match then $addFields with a literal
+    pipe = (
+        '[ { "$match": { "fullDocument.active": true } },'
+        '  { "$addFields": { "custom-field": "custom-value" } } ]'
+    )
+    out = apply_pipeline(docs, pipe)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["custom-field"] == "custom-value" for r in rows)
+
+
+def test_current_timestamp_substituted_before_parse(docs):
+    # replace_test.go: textual replacement inside the JSON string, so the
+    # added field is a STRING of unix-ms at second resolution.
+    pipe = '[ { "$addFields": { "stamp": "%currentTimestamp%" } } ]'
+    out = apply_pipeline(docs, pipe, now=lambda: 1687392000.75)
+    vals = {r.stamp for r in out.collect()}
+    assert vals == {"1687392000000"}
+
+
+def test_match_operators(docs):
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$gte": 5}}}]').count()
+    assert got == 2
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$gt": 5, "$lt": 100}}}]').count()
+    assert got == 1
+    got = apply_pipeline(docs, '[{"$match": {"op": {"$in": ["insert", "update"]}}}]')
+    assert got.count() == 3
+    got = apply_pipeline(docs, '[{"$match": {"op": {"$nin": ["insert"]}}}]').count()
+    assert got == 2
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$exists": false}}}]').count()
+    assert got == 1
+    got = apply_pipeline(docs, '[{"$match": {"path": {"$regex": "\\\\.go$"}}}]')
+    assert got.count() == 2
+    # negation is null-safe: {$ne: 5} matches the null-n row (Mongo $ne
+    # matches documents where the field is missing)
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$ne": 5}}}]').count()
+    assert got == 3
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$nin": [1, 5]}}}]').count()
+    assert got == 2
+    # ...but {$ne: null} does NOT match the null field
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$ne": null}}}]').count()
+    assert got == 3
+    # equality against JSON null matches the null field
+    got = apply_pipeline(docs, '[{"$match": {"fullDocument.lang": null}}]').count()
+    assert got == 1
+    # $in containing null matches the null field
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$in": [5, null]}}}]').count()
+    assert got == 2
+
+
+def test_match_combinators(docs):
+    got = apply_pipeline(
+        docs, '[{"$match": {"$or": [{"op": "delete"}, {"n": {"$lt": 2}}]}}]'
+    ).count()
+    assert got == 2
+    # $nor matches rows failing every clause — the null-n row fails both
+    # (Mongo missing-field semantics), so it matches
+    got = apply_pipeline(
+        docs, '[{"$match": {"$nor": [{"op": "delete"}, {"n": {"$lt": 2}}]}}]'
+    ).count()
+    assert got == 2
+    # $not is null-safe too: matches the null-n row of r2 but repo=r1 gates it
+    got = apply_pipeline(
+        docs,
+        '[{"$match": {"$and": [{"repo": "r1"}, {"n": {"$not": {"$gt": 2}}}]}}]',
+    ).count()
+    assert got == 1
+    got = apply_pipeline(docs, '[{"$match": {"n": {"$not": {"$gt": 2}}}}]').count()
+    assert got == 2
+
+
+def test_addfields_refs_nested_and_dotted_target(docs):
+    pipe = (
+        '[{"$addFields": {'
+        '  "lang_copy": "$fullDocument.lang",'
+        '  "meta": {"src": "kmw", "pair": ["$repo", "$path"]},'
+        '  "fullDocument.flag": 7'
+        '}}]'
+    )
+    out = apply_pipeline(docs, pipe)
+    r = out.filter(F.col("path") == "a.py").collect()[0]
+    assert r.lang_copy == "py"
+    assert r.meta.src == "kmw" and list(r.meta.pair) == ["r1", "a.py"]
+    assert r.fullDocument.flag == 7
+    # $set is an alias
+    out2 = apply_pipeline(docs, '[{"$set": {"x": 1}}]')
+    assert "x" in out2.columns
+
+
+def test_project_unset_limit(docs):
+    out = apply_pipeline(docs, '[{"$project": {"repo": 1, "path": 1}}]')
+    assert out.columns == ["repo", "path"]
+    out = apply_pipeline(docs, '[{"$project": {"fullDocument": 0}}]')
+    assert "fullDocument" not in out.columns
+    out = apply_pipeline(docs, '[{"$unset": "fullDocument"}, {"$limit": 2}]')
+    assert "fullDocument" not in out.columns and out.count() == 2
+    with pytest.raises(ValueError, match="cannot mix"):
+        apply_pipeline(docs, '[{"$project": {"repo": 1, "path": 0}}]')
+
+
+def test_unknown_stage_and_operator_raise(docs):
+    with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        compile_pipeline('[{"$lookup": {}}]')
+    with pytest.raises(ValueError, match="unsupported .match operator"):
+        apply_pipeline(docs, '[{"$match": {"n": {"$mod": [2, 0]}}}]').count()
+    with pytest.raises(ValueError, match="single-key"):
+        compile_pipeline('[{"$match": {}, "$limit": 1}]')
+
+
+def test_match_pushed_to_scan(spark, tmp_path, docs):
+    """The compiled $match predicate must reach the parquet scan as a pushed
+    filter — the Spark analog of Mongo evaluating the stage server-side."""
+    p = str(tmp_path / "docs.parquet")
+    docs.select("op", "repo", "path", "n").write.parquet(p)
+    out = apply_pipeline(
+        spark.read.parquet(p), '[{"$match": {"op": "insert", "n": {"$gte": 1}}}]'
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert ("EqualTo(op,insert)" in plan or "EqualNullSafe(op,insert)" in plan)
+    assert "GreaterThanOrEqual(n,1)" in plan
+
+
+def test_compile_match_empty_doc_is_true(docs):
+    assert docs.filter(compile_match({})).count() == docs.count()
