@@ -44,11 +44,38 @@ def lww_dedup(df: DataFrame, key_cols=KEY_COLS) -> DataFrame:
     )
 
 
+def key_order_tuples(
+    df: DataFrame, key_cols=KEY_COLS, order_cols=None, extra_cols=()
+) -> DataFrame:
+    """Distinct (extra, key, ordering) tuples with physical-copy counts —
+    the semijoin's pass 1a as a standalone, reusable aggregation.
+
+    ONE payload-free scan (parquet column pruning keeps it on the key/order/
+    extra columns) with map-side partial combine. LakeTable.merge persists
+    this and derives THREE things from it — per-partition lineage counters,
+    the duplicate-delivery gate, and the semijoin winner set — where r3
+    scanned the batch's key columns twice (a cube()-expanded lineage agg
+    with an exact 4-column count_distinct, then the broadcast build's own
+    tuple aggregation). `extra_cols` (e.g. partition_id) widen the grouping
+    so lineage can re-aggregate per partition; `lww_dedup_semijoin`
+    collapses them back out before picking winners.
+    """
+    order_cols = list(
+        order_cols or [c for c in ORDER_COLS if c in df.columns] or ["commit_seq"]
+    )
+    return (
+        df.select(*extra_cols, *key_cols, *order_cols)
+        .groupBy(*extra_cols, *key_cols, *order_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
 def lww_dedup_semijoin(
     df: DataFrame,
     key_cols=KEY_COLS,
     cache_registry: list | None = None,
     has_dups: bool | None = None,
+    tuples: DataFrame | None = None,
 ) -> DataFrame:
     """Shuffle-light LWW dedup: the payload never crosses the wire.
 
@@ -77,12 +104,21 @@ def lww_dedup_semijoin(
     # pass 1a: collapse to distinct (key, ordering) tuples, remembering how
     # many physical rows carry each tuple (replayed at-least-once deliveries
     # ⇒ _cnt > 1). Payload-free: only key+ordering cross the wire, and the
-    # map-side partial agg collapses dupes before the shuffle.
-    tuples = (
-        df.select(*key_cols, *order_cols)
-        .groupBy(*key_cols, *order_cols)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    # map-side partial agg collapses dupes before the shuffle. A caller that
+    # already materialized this set (LakeTable.merge persists it for its
+    # lineage counters) passes it in — any extra grouping columns it carried
+    # (partition_id) are collapsed out here, summing the copy counts so a
+    # tuple redelivered across partitions still reads as duplicated.
+    if tuples is None:
+        tuples = key_order_tuples(df, key_cols, order_cols)
+    else:
+        extra = [
+            c for c in tuples.columns if c not in (*key_cols, *order_cols, "_cnt")
+        ]
+        if extra:
+            tuples = tuples.groupBy(*key_cols, *order_cols).agg(
+                F.sum("_cnt").alias("_cnt")
+            )
     # pass 1b: max ordering per key (tiny: one row per distinct tuple);
     # _cnt trails the order cols in the struct so it never affects the max.
     win = (

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_mongo_watcher_spark.operators.dedup import (
+    key_order_tuples,
     lww_dedup,
     lww_dedup_salted,
     lww_dedup_semijoin,
@@ -360,40 +361,54 @@ class LakeTable:
             _phases[name] = round(now - _t0, 2)
             _t0 = now
 
-        # -- per-source-partition lineage FIRST (reference O2 produce counters,
-        # /root/reference/internal/metrics/kafka.go:77-90). Column pruning
-        # keeps this pass on (partition_id, offset, repo, path, commit_seq)
-        # only; besides the counters it yields the key statistics that size
-        # the dedup and broadcast strategies below: approx distinct keys and
-        # total key bytes (ADVICE r1: bound broadcasts by BYTES), plus — via
-        # cube() adding the global grouping set in the SAME payload-free job
-        # — the EXACT duplicate-delivery count that gates the semijoin dedup.
-        # r2 ran that gate as a second job per batch; folding it here removes
-        # one of the fixed per-batch costs that compressed scaling efficiency
-        # (VERDICT r2 §next 5).
-        sc.setJobDescription(f"merge[{source_id}/{batch_id}]: lineage+gate agg")
+        # -- ONE key-column scan feeds everything pre-payload. The batch's
+        # distinct (partition_id, key, ordering) tuples are materialized
+        # once (persisted; payload-free, ~1 small row per distinct tuple)
+        # and re-aggregated three ways:
+        #   1. per-source-partition lineage counters (reference O2,
+        #      /root/reference/internal/metrics/kafka.go:77-90) + the key
+        #      statistics that size the dedup/broadcast strategies (approx
+        #      distinct keys, total key BYTES — ADVICE r1);
+        #   2. the EXACT duplicate-delivery gate (inside lww_dedup_semijoin,
+        #      from the winners' summed copy counts — tiny job over the
+        #      cached tuples);
+        #   3. the semijoin winner set itself (the broadcast build reads the
+        #      cache instead of re-scanning the batch).
+        # r3 scanned the key columns TWICE per batch — a cube()-expanded
+        # lineage agg with an exact 4-column count_distinct, then the
+        # broadcast build's own scan — the largest fixed per-batch cost in
+        # the scaling diagnosis. Now: one plain distinct-tuple agg with
+        # map-side combine, no Expand, no exact-distinct shuffle.
+        sc.setJobDescription(f"merge[{source_id}/{batch_id}]: tuple+lineage agg")
         order_cols = [c for c in ("commit_seq", "offset") if c in batch.columns]
-        agg_rows = (
-            batch.cube("partition_id")
+        _dedup_caches: list = []
+        tuples = key_order_tuples(
+            batch, KEY_COLS, order_cols, extra_cols=("partition_id",)
+        ).persist()
+        _dedup_caches.append(tuples)
+        off_col = "offset" if "offset" in order_cols else order_cols[-1]
+        _klen = (
+            F.length(F.coalesce(F.col(KEY_COLS[0]), F.lit("")))
+            + F.length(F.coalesce(F.col(KEY_COLS[1]), F.lit("")))
+        )
+        lineage_rows = (
+            tuples.groupBy("partition_id")
             .agg(
-                F.count(F.lit(1)).alias("events"),
-                F.max("offset").alias("max_offset"),
+                F.sum("_cnt").alias("events"),
+                F.max(off_col).alias("max_offset"),
                 F.approx_count_distinct(F.xxhash64(*KEY_COLS)).alias("keys_est"),
-                F.sum(F.length(KEY_COLS[0]) + F.length(KEY_COLS[1])).alias("key_bytes"),
-                F.count_distinct(*[F.col(c) for c in [*KEY_COLS, *order_cols]]).alias("tuples"),
-                F.grouping("partition_id").alias("_g"),
+                F.sum(_klen * F.col("_cnt")).alias("key_bytes"),
             )
             .collect()
         )
-        lineage_rows = [r for r in agg_rows if r["_g"] == 0]
-        _tot = next((r for r in agg_rows if r["_g"] == 1), None)
-        n_batch_events = _tot["events"] if _tot else 0
-        n_keys_ub = (_tot["keys_est"] or 0) if _tot else 0
-        _key_bytes = (_tot["key_bytes"] or 0) if _tot else 0
-        # EXACT: any (key, ordering) tuple delivered more than once? (Rows
-        # with a null key/order column are skipped by count_distinct, which
-        # can only overstate dups — a conservative True is safe.)
-        has_dups = bool(_tot) and _tot["events"] > (_tot["tuples"] or 0)
+        n_batch_events = sum(r["events"] for r in lineage_rows)
+        # partition_id is key-derived in the envelope contract, so per-
+        # partition key sets are disjoint and the sum is the global count
+        # (±HLL error); under arrival-ordered envelopes a key can span
+        # partitions and the sum only OVERestimates — conservative for the
+        # broadcast-budget check below.
+        n_keys_ub = sum((r["keys_est"] or 0) for r in lineage_rows)
+        _key_bytes = sum((r["key_bytes"] or 0) for r in lineage_rows)
         # per-broadcast-row estimate: key bytes + 2 ordering longs + JVM
         # UnsafeRow/HashedRelation overhead
         avg_bcast_row = (_key_bytes / max(n_batch_events, 1)) + 64.0
@@ -435,16 +450,18 @@ class LakeTable:
                 strategy = "window"
         elif strategy == "semijoin" and not semijoin_fits:
             strategy = "window"
-        _dedup_caches: list = []
         if strategy == "semijoin":
-            # has_dups precomputed above ⇒ no gate job here; the winner-tuple
-            # plan is evaluated exactly once (inside the write job's
-            # broadcast build) in the common no-dups case. Only the rare dup
-            # branch references it twice — persist via the registry then.
+            # Winner set built FROM the cached tuples (no batch re-scan) and
+            # persisted via the registry; the gate job that materializes it
+            # reads the cache and decides has_dups EXACTLY from the winners'
+            # summed copy counts (strictly sharper than r3's global
+            # events>tuples test — dups among loser tuples no longer force
+            # the dedup-shuffle branch).
             winners = lww_dedup_semijoin(
                 batch,
-                cache_registry=_dedup_caches if has_dups else None,
-                has_dups=has_dups,
+                cache_registry=_dedup_caches,
+                has_dups=None,
+                tuples=tuples,
             )
         elif strategy == "salted":
             winners = lww_dedup_salted(batch, n_salts=n_salts)

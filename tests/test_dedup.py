@@ -111,3 +111,47 @@ def test_semijoin_keeps_null_key_rows_like_window_path(spark):
     win = {(r["repo"], r["path"], r["v"]) for r in lww_dedup(df).collect()}
     semi = {(r["repo"], r["path"], r["v"]) for r in lww_dedup_semijoin(df).collect()}
     assert semi == win == {(None, "p", "b"), ("r", None, "c"), ("r", "p", "d")}
+
+
+def test_semijoin_with_precomputed_partition_tuples(spark):
+    """merge feeds the semijoin its persisted (partition_id, key, ordering)
+    tuple set; the extra partition column must be collapsed out (summing
+    copy counts) so results — including exact-duplicate collapsing and a
+    tuple redelivered under two partition_ids — match the window path."""
+    from kafka_mongo_watcher_spark.operators.dedup import (
+        key_order_tuples,
+        lww_dedup_semijoin,
+    )
+
+    rows = [
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 2, "update", "r", "p", 12, "b"),  # within-partition duplicate
+        (1, 2, "update", "r", "p", 12, "b"),  # cross-partition duplicate
+        (0, 1, "insert", "r", "p", 10, "a"),
+        (0, 3, "insert", "r2", "p", 4, "c"),
+    ]
+    df = _df(spark, rows)
+    tuples = key_order_tuples(df, extra_cols=("partition_id",)).persist()
+    try:
+        got = lww_dedup_semijoin(df, tuples=tuples).collect()
+    finally:
+        tuples.unpersist()
+    per_key = {}
+    for r in got:
+        per_key.setdefault((r["repo"], r["path"]), []).append(r["v"])
+    assert per_key == {("r", "p"): ["b"], ("r2", "p"): ["c"]}
+
+
+def test_key_order_tuples_counts_copies(spark):
+    from kafka_mongo_watcher_spark.operators.dedup import key_order_tuples
+
+    rows = [
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 2, "update", "r", "p", 12, "b"),
+        (0, 1, "insert", "r", "p", 10, "a"),
+    ]
+    t = {
+        (r["repo"], r["path"], r["commit_seq"], r["offset"]): r["_cnt"]
+        for r in key_order_tuples(_df(spark, rows)).collect()
+    }
+    assert t == {("r", "p", 12, 2): 2, ("r", "p", 10, 1): 1}
