@@ -642,13 +642,14 @@ FROM h
 
 def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container decode round-trip (r3, VERDICT r2 §next 6): per doc_id
-    a genuine BMP (even ids) or PCM WAV (odd ids) is BUILT byte-for-byte
-    (functions/multimodal.py encode_bmp/encode_wav), then decoded by the
-    byte-level container parsers (_decode_bmp/_decode_wav) — headers
-    validated, pixel rows / PCM samples reduced with numpy. Every encoding
-    parameter is a closed-form function of doc_id, so the DuckDB oracle
-    checks the decoded metadata AND body statistics (mean pixel / RMS)
-    without parsing bytes. Two Arrow-batched mapInPandas stages, no shuffle."""
+    a genuine BMP (id%3==0), PCM WAV (id%3==1), or zlib-compressed PNG
+    (id%3==2) is BUILT byte-for-byte (functions/multimodal.py encode_*),
+    then decoded by the byte-level container parsers — headers + CRCs
+    validated, pixel rows / PCM samples / inflated+unfiltered scanlines
+    reduced with numpy. Every encoding parameter is a closed-form function
+    of doc_id, so the DuckDB oracle checks the decoded metadata AND body
+    statistics (mean pixel / RMS) without parsing bytes. Two Arrow-batched
+    mapInPandas stages, no shuffle."""
     from kafka_mongo_watcher_spark.functions.multimodal import (
         decode_media,
         synthesize_containers,
@@ -670,18 +671,26 @@ def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIA_DECODE_REAL_ORACLE = """
 SELECT doc_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-  CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
-  CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 9 AS INT) END AS height,
-  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS n_channels,
-  CASE WHEN doc_id % 2 = 1 THEN
+  CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS media_type,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(4 + doc_id % 13 AS INT)
+       WHEN doc_id % 3 = 2 THEN CAST(5 + doc_id % 11 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(3 + doc_id % 9 AS INT)
+       WHEN doc_id % 3 = 2 THEN CAST(4 + doc_id % 7 AS INT) END AS height,
+  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS n_channels,
+  CASE WHEN doc_id % 3 = 1 THEN
     CAST(FLOOR((50 + doc_id % 100) * 1000.0 / (8000 + (doc_id % 5) * 1000)) AS INT)
   END AS duration_ms,
-  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pcm_s16le' END AS codec,
-  CASE WHEN doc_id % 2 = 0 THEN
+  CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+       WHEN doc_id % 3 = 1 THEN 'pcm_s16le'
+       ELSE 'png' END AS codec,
+  CASE WHEN doc_id % 3 = 0 THEN
     (CAST(doc_id % 256 AS DOUBLE) + CAST((3 * doc_id + 7) % 256 AS DOUBLE)
      + CAST((5 * doc_id + 11) % 256 AS DOUBLE)) / 3.0
-  ELSE CAST(1000 + doc_id % 2000 AS DOUBLE) END AS body_mean
+  WHEN doc_id % 3 = 1 THEN CAST(1000 + doc_id % 2000 AS DOUBLE)
+  ELSE
+    (CAST((7 * doc_id + 1) % 256 AS DOUBLE) + CAST((2 * doc_id + 3) % 256 AS DOUBLE)
+     + CAST((11 * doc_id + 5) % 256 AS DOUBLE)) / 3.0
+  END AS body_mean
 FROM documents
 """
 

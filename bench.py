@@ -129,7 +129,8 @@ def main() -> None:
     qs = entrymod.queries()
     for name in ("cdc_lww_latest", "cdc_partition_lineage", "dedup_exact",
                  "dedup_minhash_signature", "ann_cosine_topk",
-                 "pipeline_group_agg", "pipeline_join_agg"):
+                 "pipeline_group_agg", "pipeline_join_agg",
+                 "cdc_custom_pipeline"):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -103,7 +103,9 @@ def normalize_and_fingerprint(col):
     Usage: df.withColumn("_nf", normalize_and_fingerprint(F.col("content_raw")))
              .withColumn("content", F.col("_nf.content")) ...
     """
-    is_ascii = col.rlike("^[\\x00-\\x7F]*$")
+    # byte length == char length iff every char is 1 UTF-8 byte, i.e. pure
+    # ASCII — two O(1)/O(n) counters instead of a third regex scan per row
+    is_ascii = F.octet_length(col) == F.length(col)
     ascii_norm = _ascii_normalize_expr(col)
     return F.when(
         is_ascii,

@@ -10,13 +10,20 @@ can parse WITHOUT codec libraries:
   (bottom-up, 4-byte padded, BGR) decoded via numpy, body statistics
   (mean pixel value) computed from the actual pixels;
 - **WAV** (RIFF/PCM 16-bit): fmt/data chunks parsed, duration derived from
-  the sample count/rate, RMS computed from the actual samples.
+  the sample count/rate, RMS computed from the actual samples;
+- **PNG** (8-bit gray/RGB/LA/RGBA, non-interlaced): full pixel decode —
+  chunk walk with CRC validation, stdlib-zlib inflate of the IDAT stream,
+  per-scanline unfiltering (all five PNG filter types, spec §9) in numpy,
+  body statistics from the actual pixels.
 
-Anything else (JPEG/PNG/MP3/H264 need real codec libs absent from this
-container) falls back to `_decode_bytes_stub`, a clearly-marked
-deterministic fake, so pipelines over mixed corpora keep flowing — the
-reference's decode-error tolerance. Swap the fallback for PIL/ffmpeg on a
-real cluster; every signature stays the same.
+Two more containers get REAL metadata (the ffprobe analog) without pixel
+decode: **JPEG** (SOF frame-header walk → width/height/channels; inverse
+DCT needs a codec lib, so body_mean stays null) and **GIF** (logical screen
+descriptor). Anything else (MP3/H264/...) falls back to
+`_decode_bytes_stub`, a clearly-marked deterministic fake, so pipelines
+over mixed corpora keep flowing — the reference's decode-error tolerance.
+Swap the fallback for PIL/ffmpeg on a real cluster; every signature stays
+the same.
 
 All operators are `mapInPandas` iterators: one Arrow batch in, one out, so
 decode cost amortizes across the batch and memory stays bounded by
@@ -27,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,10 +47,12 @@ MEDIA_META_DDL = (
     "duration_ms int, codec string, body_mean double"
 )
 
-# BMP + WAV decode is REAL (byte-level container parse, numpy body math);
+# BMP + WAV + PNG decode is REAL (byte-level container parse, stdlib zlib,
+# numpy body math); JPEG/GIF metadata is real (header probe, no pixels);
 # formats needing codec libraries still stub.
 _DECODE_IS_STUB = False
-DECODE_REAL_FORMATS = ("bmp", "wav")
+DECODE_REAL_FORMATS = ("bmp", "wav", "png")
+PROBE_REAL_FORMATS = ("jpeg", "gif")
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +150,176 @@ def _decode_wav(p: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    body = typ + data
+    return (
+        struct.pack(">I", len(data))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Build a real 8-bit RGB PNG (constant fill, filter-0 scanlines, one
+    zlib IDAT). Test/datagen helper; the decoder handles any writer."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (bytes([0]) + bytes(rgb) * width) * height
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(p: bytes) -> dict:
+    """Full PNG pixel decode with stdlib zlib + numpy scanline unfiltering
+    (all five filter types, PNG spec §9). Supports the common web profile:
+    8-bit depth, color types 0/2/4/6, non-interlaced. Chunk CRCs are
+    validated, so a payload that merely starts with the signature falls
+    through to the stub. Filter-0/Up rows are pure numpy; Sub/Average/Paeth
+    rows carry a left-neighbor dependency and walk the scanline."""
+    if p[:8] != _PNG_SIG:
+        raise ValueError("not png")
+    off, ihdr, idat = 8, None, []
+    while off + 12 <= len(p):
+        ln, typ = struct.unpack_from(">I4s", p, off)
+        data = p[off + 8 : off + 8 + ln]
+        if len(data) != ln or off + 12 + ln > len(p):
+            raise ValueError("truncated png chunk")
+        (crc,) = struct.unpack_from(">I", p, off + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad png crc")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (
+        w <= 0 or h <= 0 or depth != 8 or ctype not in _PNG_CHANNELS
+        or comp != 0 or filt != 0 or interlace != 0
+    ):
+        raise ValueError("unsupported png variant")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("bad png body size")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            cur = line
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError("bad png filter type")
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    return {
+        "media_type": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": ch,
+        "duration_ms": None,
+        "codec": "png",
+        "body_mean": float(img.mean()),
+    }
+
+
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _probe_jpeg(p: bytes) -> dict:
+    """JPEG metadata probe — walk the marker stream to the SOF frame header
+    (the ffprobe analog). Width/height/channels are decoded for REAL; pixel
+    statistics need an inverse-DCT codec, so body_mean stays null."""
+    if p[:3] != b"\xff\xd8\xff":
+        raise ValueError("not jpeg")
+    off = 2
+    while off + 4 <= len(p):
+        if p[off] != 0xFF:
+            raise ValueError("bad jpeg marker stream")
+        m = p[off + 1]
+        if m == 0xFF:  # fill byte
+            off += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # standalone markers
+            off += 2
+            continue
+        (ln,) = struct.unpack_from(">H", p, off + 2)
+        if ln < 2:
+            raise ValueError("bad jpeg segment length")
+        if m in _JPEG_SOF:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", p, off + 4)
+            if w <= 0 or h <= 0 or nc not in (1, 3, 4):
+                raise ValueError("bad jpeg frame header")
+            return {
+                "media_type": "image",
+                "width": int(w),
+                "height": int(h),
+                "n_channels": int(nc),
+                "duration_ms": None,
+                "codec": "jpeg",
+                "body_mean": None,
+            }
+        if m == 0xDA:  # start of scan before any SOF: malformed
+            break
+        off += 2 + ln
+    raise ValueError("no jpeg SOF marker")
+
+
+def _probe_gif(p: bytes) -> dict:
+    """GIF logical-screen-descriptor probe: real width/height, palette-based
+    RGB (3 channels); pixels stay undecoded (LZW)."""
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        raise ValueError("not gif")
+    w, h = struct.unpack_from("<HH", p, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad gif dimensions")
+    return {
+        "media_type": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": 3,
+        "duration_ms": None,
+        "codec": "gif",
+        "body_mean": None,
+    }
+
+
 def _decode_bytes_stub(payload: bytes) -> dict:
     """STUB decode for formats whose codecs aren't in this container:
     deterministic pseudo-metadata from the payload bytes, so tests are
@@ -160,21 +340,25 @@ def _decode_bytes_stub(payload: bytes) -> dict:
 
 
 def _decode_bytes(payload: bytes) -> dict:
-    """Magic-byte dispatch: real BMP/WAV parse, stub for everything else.
-    A payload that merely LOOKS like a container (e.g. text starting with
-    'BM') fails strict header validation and uses the stub."""
+    """Magic-byte dispatch: real BMP/WAV/PNG parse + real JPEG/GIF metadata
+    probe, stub for everything else. A payload that merely LOOKS like a
+    container (e.g. text starting with 'BM', or a PNG signature with corrupt
+    CRCs) fails strict validation and uses the stub."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload")
-    if payload[:2] == b"BM":
-        try:
-            return _decode_bmp(payload)
-        except ValueError:
-            pass
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        try:
-            return _decode_wav(payload)
-        except ValueError:
-            pass
+    dispatch = (
+        (payload[:2] == b"BM", _decode_bmp),
+        (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", _decode_wav),
+        (payload[:8] == _PNG_SIG, _decode_png),
+        (payload[:3] == b"\xff\xd8\xff", _probe_jpeg),
+        (payload[:6] in (b"GIF87a", b"GIF89a"), _probe_gif),
+    )
+    for hit, fn in dispatch:
+        if hit:
+            try:
+                return fn(payload)
+            except ValueError:
+                break
     return _decode_bytes_stub(payload)
 
 
@@ -255,15 +439,17 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", n_frames: int = 4
 
 
 def synthesize_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a REAL container payload per row (mapInPandas): even ids get a
-    24-bpp BMP, odd ids a PCM-16 WAV, with every parameter a closed-form
-    function of the id — so an external oracle (DuckDB SQL) can verify the
-    DECODED values without parsing a single byte:
+    """Attach a REAL container payload per row (mapInPandas), id mod 3
+    picking the format, with every parameter a closed-form function of the
+    id — so an external oracle (DuckDB SQL) can verify the DECODED values
+    without parsing a single byte:
 
-      even i: BMP  w=4+i%13, h=3+i%9, fill rgb=(i, 3i+7, 5i+11) mod 256
+      i%3==0: BMP  w=4+i%13, h=3+i%9, fill rgb=(i, 3i+7, 5i+11) mod 256
               ⇒ body_mean = (r+g+b)/3
-      odd  i: WAV  n=50+i%100 samples @ 8000+(i%5)*1000 Hz, square wave of
+      i%3==1: WAV  n=50+i%100 samples @ 8000+(i%5)*1000 Hz, square wave of
               |amplitude| = 1000+i%2000 ⇒ body_mean (RMS) = amplitude
+      i%3==2: PNG  w=5+i%11, h=4+i%7, fill rgb=(7i+1, 2i+3, 11i+5) mod 256
+              ⇒ body_mean = (r+g+b)/3 (round-trips zlib + unfiltering)
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -274,16 +460,23 @@ def synthesize_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for v in pdf[id_col]:
                 i = int(v)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     payloads.append(
                         encode_bmp(
                             4 + i % 13, 3 + i % 9,
                             (i % 256, (3 * i + 7) % 256, (5 * i + 11) % 256),
                         )
                     )
-                else:
+                elif i % 3 == 1:
                     payloads.append(
                         encode_wav(50 + i % 100, 8000 + (i % 5) * 1000, 1000 + i % 2000)
+                    )
+                else:
+                    payloads.append(
+                        encode_png(
+                            5 + i % 11, 4 + i % 7,
+                            ((7 * i + 1) % 256, (2 * i + 3) % 256, (11 * i + 5) % 256),
+                        )
                     )
             pdf = pdf.copy()
             pdf["payload"] = payloads

@@ -76,6 +76,7 @@ def lww_dedup_semijoin(
     cache_registry: list | None = None,
     has_dups: bool | None = None,
     tuples: DataFrame | None = None,
+    tuples_partition_disjoint: bool = False,
 ) -> DataFrame:
     """Shuffle-light LWW dedup: the payload never crosses the wire.
 
@@ -115,7 +116,13 @@ def lww_dedup_semijoin(
         extra = [
             c for c in tuples.columns if c not in (*key_cols, *order_cols, "_cnt")
         ]
-        if extra:
+        if extra and tuples_partition_disjoint:
+            # Keyed-delivery contract: the extra grouping column is key-
+            # derived (envelope hash mode; Kafka keyed produce client.go:
+            # 29-31; Mongo shard key), so a (key, ordering) tuple can never
+            # repeat across groups — drop the column, skip the re-shuffle.
+            tuples = tuples.drop(*extra)
+        elif extra:
             tuples = tuples.groupBy(*key_cols, *order_cols).agg(
                 F.sum("_cnt").alias("_cnt")
             )

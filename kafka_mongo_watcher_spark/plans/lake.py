@@ -398,10 +398,16 @@ class LakeTable:
                 F.max(off_col).alias("max_offset"),
                 F.approx_count_distinct(F.xxhash64(*KEY_COLS)).alias("keys_est"),
                 F.sum(_klen * F.col("_cnt")).alias("key_bytes"),
+                F.max("_cnt").alias("max_cnt"),
             )
             .collect()
         )
         n_batch_events = sum(r["events"] for r in lineage_rows)
+        # EXACT duplicate-delivery gate, zero extra jobs: a tuple delivered
+        # twice lands in the same source partition (partition_id is key-
+        # derived — envelope hash mode, Kafka keyed produce, Mongo shard
+        # key), so its copies collapse into ONE tuples row with _cnt > 1.
+        has_dups = any((r["max_cnt"] or 0) > 1 for r in lineage_rows)
         # partition_id is key-derived in the envelope contract, so per-
         # partition key sets are disjoint and the sum is the global count
         # (±HLL error); under arrival-ordered envelopes a key can span
@@ -451,17 +457,17 @@ class LakeTable:
         elif strategy == "semijoin" and not semijoin_fits:
             strategy = "window"
         if strategy == "semijoin":
-            # Winner set built FROM the cached tuples (no batch re-scan) and
-            # persisted via the registry; the gate job that materializes it
-            # reads the cache and decides has_dups EXACTLY from the winners'
-            # summed copy counts (strictly sharper than r3's global
-            # events>tuples test — dups among loser tuples no longer force
-            # the dedup-shuffle branch).
+            # Winner set built FROM the cached tuples: the broadcast build
+            # inside the write job runs one narrow agg over the cache — no
+            # batch re-scan, no separate gate job (has_dups came free with
+            # the lineage agg above). Winners persist only on the dup
+            # branch, where clean/dup split references the plan twice.
             winners = lww_dedup_semijoin(
                 batch,
-                cache_registry=_dedup_caches,
-                has_dups=None,
+                cache_registry=_dedup_caches if has_dups else None,
+                has_dups=has_dups,
                 tuples=tuples,
+                tuples_partition_disjoint=True,
             )
         elif strategy == "salted":
             winners = lww_dedup_salted(batch, n_salts=n_salts)
