@@ -18,10 +18,14 @@ scan (PushedFilters) exactly as Mongo evaluates them server-side; `$unset` /
 Nothing here runs per row in Python.
 
 Supported stages (the reference's documented surface plus the adjacent
-Mongo basics a pipeline user expects): `$match`, `$addFields` (alias
-`$set`), `$unset`, `$project` (include-only or exclude-only, as in Mongo),
-`$limit`. Unknown stages raise — a silently-dropped stage would diverge
-from the reference, which forwards the stage to the server.
+Mongo basics a pipeline user expects — README.md:89-94 explicitly lets the
+user inject `$group` stages): `$match`, `$addFields` (alias `$set`),
+`$unset`, `$project` (include-only or exclude-only, as in Mongo),
+`$group` (accumulators `$sum $avg $min $max $count $push $addToSet $first
+$last` — the last two are order-undefined exactly as Mongo leaves them
+without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`.
+Unknown stages raise — a silently-dropped stage would diverge from the
+reference, which forwards the stage to the server.
 
 `$match` operators: implicit equality, `$eq $ne $gt $gte $lt $lte $in $nin
 $exists $regex $not`, and top-level `$and $or $nor`. Values are literals
@@ -180,13 +184,78 @@ def _stage_project(df: DataFrame, doc: dict) -> DataFrame:
     return df.drop(*excludes)
 
 
+_ACCUM = {
+    # $sum with the literal 1 is Mongo's document counter
+    "$sum": lambda v: F.count(F.lit(1)) if v == 1 else F.sum(_compile_value(v)),
+    "$avg": lambda v: F.avg(_compile_value(v)),
+    "$min": lambda v: F.min(_compile_value(v)),
+    "$max": lambda v: F.max(_compile_value(v)),
+    "$count": lambda v: F.count(F.lit(1)),
+    "$push": lambda v: F.collect_list(_compile_value(v)),
+    "$addToSet": lambda v: F.collect_set(_compile_value(v)),
+    # order-undefined without a preceding $sort — same caveat as Mongo
+    "$first": lambda v: F.first(_compile_value(v)),
+    "$last": lambda v: F.last(_compile_value(v)),
+}
+
+
+def _stage_group(df: DataFrame, doc: dict) -> DataFrame:
+    """Mongo `$group` → hash aggregate. `_id` may be null (global group),
+    a `"$path"` reference, or a document of references (→ struct `_id`).
+    Declarative groupBy/agg, so Spark applies map-side partial aggregation
+    — the scalable shape for the user-injected `$group` the reference
+    forwards to the server (README.md:89-94)."""
+    doc = dict(doc)
+    if "_id" not in doc:
+        raise ValueError("$group requires an _id")
+    gid = doc.pop("_id")
+    aggs = []
+    for name, spec in doc.items():
+        if not (isinstance(spec, dict) and len(spec) == 1):
+            raise ValueError(f"$group accumulator {name!r} must be a single-op doc")
+        (op, val), = spec.items()
+        if op not in _ACCUM:
+            raise ValueError(f"unsupported $group accumulator {op!r}")
+        aggs.append(_ACCUM[op](val).alias(name))
+    if gid is None:
+        out = df.groupBy().agg(*(aggs or [F.count(F.lit(1)).alias("_n")]))
+        return out.select(F.lit(None).alias("_id"), *doc.keys())
+    if isinstance(gid, str) and gid.startswith("$"):
+        return df.groupBy(_field(gid[1:]).alias("_id")).agg(*aggs)
+    if isinstance(gid, dict):
+        keys = [(k, _compile_value(v)) for k, v in gid.items()]
+        grouped = df.groupBy(*[c.alias(f"_gk_{k}") for k, c in keys])
+        out = grouped.agg(*aggs)
+        return out.select(
+            F.struct(*[F.col(f"_gk_{k}").alias(k) for k, _ in keys]).alias("_id"),
+            *doc.keys(),
+        )
+    # constant _id: every document in one group, like _id: null
+    return df.groupBy(F.lit(gid).alias("_id")).agg(*aggs)
+
+
+def _stage_sort(df: DataFrame, doc: dict) -> DataFrame:
+    cols = []
+    for k, d in doc.items():
+        if d not in (1, -1):
+            raise ValueError(f"$sort direction for {k!r} must be 1 or -1")
+        cols.append(_field(k).asc() if d == 1 else _field(k).desc())
+    return df.orderBy(*cols)
+
+
 _STAGES = {
     "$match": _stage_match,
     "$addFields": _stage_add_fields,
     "$set": _stage_add_fields,
     "$unset": _stage_unset,
     "$project": _stage_project,
+    "$group": _stage_group,
+    "$sort": _stage_sort,
+    "$skip": lambda df, n: df.offset(int(n)),
     "$limit": lambda df, n: df.limit(int(n)),
+    "$count": lambda df, name: df.groupBy().agg(
+        F.count(F.lit(1)).alias(str(name))
+    ),
 }
 
 

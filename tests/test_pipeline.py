@@ -169,3 +169,47 @@ def test_match_pushed_to_scan(spark, tmp_path, docs):
 
 def test_compile_match_empty_doc_is_true(docs):
     assert docs.filter(compile_match({})).count() == docs.count()
+
+
+def test_group_stage(docs):
+    # README.md:89-94: the user may inject $group stages
+    out = apply_pipeline(
+        docs,
+        '[{"$group": {"_id": "$op", "n": {"$sum": 1}, "mx": {"$max": "$n"},'
+        '             "langs": {"$addToSet": "$fullDocument.lang"}}},'
+        ' {"$sort": {"_id": 1}}]',
+    ).collect()
+    got = {r["_id"]: (r["n"], r["mx"], sorted(x for x in r["langs"] if x)) for r in out}
+    assert got == {
+        "insert": (2, 1, ["py"]),
+        "update": (1, 5, ["py"]),
+        "delete": (1, 9, ["go"]),
+    }
+
+
+def test_group_composite_and_null_id(docs):
+    out = apply_pipeline(
+        docs,
+        '[{"$group": {"_id": {"r": "$repo", "l": "$fullDocument.lang"},'
+        '             "total": {"$sum": "$n"}}}]',
+    ).collect()
+    key = {(r["_id"]["r"], r["_id"]["l"]): r["total"] for r in out}
+    assert key[("r1", "py")] == 6 and key[("r2", "go")] == 9
+    glob = apply_pipeline(
+        docs, '[{"$group": {"_id": null, "cnt": {"$count": {}}, "avg_n": {"$avg": "$n"}}}]'
+    ).collect()
+    assert len(glob) == 1 and glob[0]["_id"] is None and glob[0]["cnt"] == 4
+    assert abs(glob[0]["avg_n"] - 5.0) < 1e-9
+
+
+def test_sort_skip_limit_count(docs):
+    out = apply_pipeline(
+        docs, '[{"$sort": {"n": -1}}, {"$skip": 1}, {"$limit": 2}]'
+    ).collect()
+    assert [r["n"] for r in out] == [5, 1]
+    cnt = apply_pipeline(docs, '[{"$match": {"repo": "r1"}}, {"$count": "total"}]')
+    assert cnt.collect()[0]["total"] == 2
+    with pytest.raises(ValueError, match="direction"):
+        apply_pipeline(docs, '[{"$sort": {"n": 0}}]')
+    with pytest.raises(ValueError, match="accumulator"):
+        apply_pipeline(docs, '[{"$group": {"_id": null, "x": {"$stdDevPop": "$n"}}}]')
