@@ -813,6 +813,34 @@ WHERE event_type IN ('error', 'click') AND "value" > 150.0
 """
 
 
+_GROUP_PIPELINE_JSON = (
+    '[ {"$match": {"value": {"$gte": 10.0}}},'
+    '  {"$group": {"_id": "$event_type", "n": {"$sum": 1},'
+    '              "uid_sum": {"$sum": "$user_id"},'
+    '              "mx": {"$max": "$value"},'
+    '              "uid_avg": {"$avg": "$user_id"}}} ]'
+)
+
+
+def _cdc_pipeline_group_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiler's `$group` stage (README.md:89-94: users inject $group
+    into MONGODB_CUSTOM_PIPELINE) against a DuckDB twin. Accumulators sum/
+    avg integer columns so the result is addition-order independent and
+    survives the value-hash gate; the whole pipeline is declarative
+    groupBy/agg with map-side partial aggregation."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(ev, _GROUP_PIPELINE_JSON)
+
+
+_CDC_PIPELINE_GROUP_ORACLE = """
+SELECT event_type AS _id, COUNT(*) AS n, SUM(user_id) AS uid_sum,
+       MAX("value") AS mx, AVG(user_id) AS uid_avg
+FROM events WHERE "value" >= 10.0 GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
@@ -825,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
         "cdc_custom_pipeline": _cdc_custom_pipeline,
+        "cdc_pipeline_group_stage": _cdc_pipeline_group_stage,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -843,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,
         "cdc_custom_pipeline": _CDC_CUSTOM_PIPELINE_ORACLE,
+        "cdc_pipeline_group_stage": _CDC_PIPELINE_GROUP_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out
