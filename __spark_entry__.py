@@ -813,6 +813,26 @@ WHERE event_type IN ('error', 'click') AND "value" > 150.0
 """
 
 
+def _cdc_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts (streaming/windows.py): the same
+    plan that runs under a watermark in streaming mode (stream==batch
+    equality + watermark-closed-window emission are asserted in
+    tests/test_streaming.py::test_tumbling_window_stream_equals_batch),
+    verified here on the batch path against DuckDB time_bucket."""
+    from kafka_mongo_watcher_spark.streaming.windows import tumbling_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_event_counts(ev, ts_col="ts", window="1 hour")
+
+
+_CDC_WINDOWED_COUNTS_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 _GROUP_PIPELINE_JSON = (
     '[ {"$match": {"value": {"$gte": 10.0}}},'
     '  {"$group": {"_id": "$event_type", "n": {"$sum": 1},'
@@ -854,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_message_envelope": _cdc_message_envelope,
         "cdc_custom_pipeline": _cdc_custom_pipeline,
         "cdc_pipeline_group_stage": _cdc_pipeline_group_stage,
+        "cdc_windowed_counts": _cdc_windowed_counts,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -873,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,
         "cdc_custom_pipeline": _CDC_CUSTOM_PIPELINE_ORACLE,
         "cdc_pipeline_group_stage": _CDC_PIPELINE_GROUP_ORACLE,
+        "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out

@@ -127,3 +127,68 @@ def test_message_stream_per_key_partition_ordering(spark, tmp_path):
     stats2 = run_message_stream(spark, **kwargs)
     assert all(s.get("skipped") for s in stats2)
     assert spark.read.parquet(str(tmp_path / "msgs")).count() == n_events
+
+
+def test_tumbling_window_stream_equals_batch(spark, tmp_path):
+    """Event-time tumbling aggregation: the streaming plan over a drained
+    file source equals the batch plan (complete mode), and append mode with
+    a watermark emits only the windows the watermark closed — the bounded
+    late-data semantics the north_star mandates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.streaming.windows import tumbling_event_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), ["a", "b"][i % 2])
+        for i in range(40)
+    ]
+    src = str(tmp_path / "winsrc")
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    df.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): r["events"]
+        for r in tumbling_event_counts(
+            spark.read.parquet(src), window="1 hour"
+        ).collect()
+    }
+    assert sum(batch.values()) == 40 and len(batch) > 4
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = tumbling_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start(checkpointLocation=str(tmp_path / "ck1"))
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["events"]
+        for r in spark.sql("select * from win_complete").collect()
+    }
+    assert got == batch
+
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(checkpointLocation=str(tmp_path / "ck2"))
+    )
+    q2.awaitTermination(120)
+    emitted = {
+        (r["window_start"], r["event_type"]): r["events"]
+        for r in spark.sql("select * from win_append").collect()
+    }
+    # append emits only watermark-closed windows: a strict, correct subset
+    assert emitted and set(emitted) < set(batch)
+    assert all(batch[k] == v for k, v in emitted.items())
+    # exactly the windows whose END the watermark passed: end <= max_ts - 30min
+    max_ts = max(ts for _, ts, _ in rows)
+    closed = {k for k in batch if k[0] + dt.timedelta(hours=1) <= max_ts - dt.timedelta(minutes=30)}
+    assert set(emitted) == closed
