@@ -861,6 +861,55 @@ FROM events WHERE "value" >= 10.0 GROUP BY event_type
 """
 
 
+_LOOKUP_PIPELINE_JSON = (
+    '[ {"$match": {"event_type": "purchase"}},'
+    '  {"$lookup": {"from": "customer", "localField": "user_id",'
+    '               "foreignField": "c_custkey", "as": "cust"}},'
+    '  {"$unwind": "$cust"},'
+    '  {"$addFields": {"c_name": "$cust.c_name", "mkt": "$cust.c_mktsegment"}},'
+    '  {"$project": {"event_id": 1, "user_id": 1, "event_type": 1,'
+    '                "c_name": 1, "mkt": 1}} ]'
+)
+
+
+def _cdc_pipeline_lookup_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiler's relational stages — `$lookup` (equality form, the
+    Mongo dimension-enrichment idiom) gathering matching customer docs,
+    `$unwind` flattening them, dotted `$addFields` pulling struct fields —
+    against a DuckDB join oracle. $unwind's default drop-empty semantics
+    make the composition an inner equi join; the gathered lookup side is
+    one row per customer key, so Catalyst broadcasts it here and shuffles
+    on the key at scale. No Python per row anywhere."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return apply_pipeline(ev, _LOOKUP_PIPELINE_JSON, tables={"customer": cust})
+
+
+_CDC_PIPELINE_LOOKUP_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_name AS c_name, c.c_mktsegment AS mkt
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+"""
+
+
+def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
+    declarative hash aggregate with map-side partial aggregation."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(ev, '[ {"$sortByCount": "$event_type"} ]')
+
+
+_CDC_PIPELINE_SORTBYCOUNT_ORACLE = """
+SELECT event_type AS _id, COUNT(*) AS count
+FROM events GROUP BY event_type ORDER BY count DESC
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
@@ -874,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_message_envelope": _cdc_message_envelope,
         "cdc_custom_pipeline": _cdc_custom_pipeline,
         "cdc_pipeline_group_stage": _cdc_pipeline_group_stage,
+        "cdc_pipeline_lookup_unwind": _cdc_pipeline_lookup_unwind,
+        "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_windowed_counts": _cdc_windowed_counts,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
@@ -894,6 +945,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,
         "cdc_custom_pipeline": _CDC_CUSTOM_PIPELINE_ORACLE,
         "cdc_pipeline_group_stage": _CDC_PIPELINE_GROUP_ORACLE,
+        "cdc_pipeline_lookup_unwind": _CDC_PIPELINE_LOOKUP_ORACLE,
+        "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
     }
     out.update(_DUCK_SQL)

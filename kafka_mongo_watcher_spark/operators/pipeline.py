@@ -23,9 +23,19 @@ user inject `$group` stages): `$match`, `$addFields` (alias `$set`),
 `$unset`, `$project` (include-only or exclude-only, as in Mongo),
 `$group` (accumulators `$sum $avg $min $max $count $push $addToSet $first
 $last` — the last two are order-undefined exactly as Mongo leaves them
-without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`.
+without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`,
+`$unwind` (posexplode; preserveNullAndEmptyArrays / includeArrayIndex as
+in Mongo), `$lookup` (equality form; foreign collections supplied as
+DataFrames via `tables=`), `$replaceRoot` / `$replaceWith` (struct
+promotion), and `$sortByCount`.
 Unknown stages raise — a silently-dropped stage would diverge from the
 reference, which forwards the stage to the server.
+
+Scale notes for the relational stages: `$lookup` compiles to
+collect_list-per-foreign-key + an equi hash join — Catalyst broadcasts the
+gathered side when it is small (the Mongo-typical dimension lookup) and
+shuffles on the key otherwise; `$unwind` is a generator expression inside
+whole-stage codegen; neither runs Python per row.
 
 `$match` operators: implicit equality, `$eq $ne $gt $gte $lt $lte $in $nin
 $exists $regex $not`, and top-level `$and $or $nor`. Values are literals
@@ -234,6 +244,100 @@ def _stage_group(df: DataFrame, doc: dict) -> DataFrame:
     return df.groupBy(F.lit(gid).alias("_id")).agg(*aggs)
 
 
+def _stage_unwind(df: DataFrame, spec) -> DataFrame:
+    """Mongo `$unwind`: one output document per array element.
+
+    Default drops documents whose path is null or an empty array;
+    `preserveNullAndEmptyArrays` keeps them (element null, index null) —
+    both via posexplode/posexplode_outer, a codegen'd generator, no
+    shuffle. A non-array column passes through as the single-element case
+    (Mongo treats non-array values as one-element arrays); top-level paths
+    only, as the typed-column analog of Mongo's dynamic documents."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(spec, str):
+        spec = {"path": spec}
+    path = spec.get("path", "")
+    if not (isinstance(path, str) and path.startswith("$")):
+        raise ValueError(f"$unwind path must be a '$field' reference, got {path!r}")
+    col = path[1:]
+    if "." in col or col not in df.columns:
+        raise ValueError(f"$unwind supports top-level array columns, got {col!r}")
+    preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    idx_name = spec.get("includeArrayIndex")
+    if not isinstance(df.schema[col].dataType, ArrayType):
+        # Mongo: non-array value unwinds to itself; missing/null drops
+        # unless preserved. Array index is null for non-arrays.
+        if not preserve:
+            df = df.filter(F.col(col).isNotNull())
+        if idx_name:
+            df = df.withColumn(str(idx_name), F.lit(None).cast("long"))
+        return df
+    gen = F.posexplode_outer(F.col(col)) if preserve else F.posexplode(F.col(col))
+    others = [c for c in df.columns if c != col]
+    out = df.select(*others, gen.alias("_unwind_pos", col))
+    if idx_name:
+        out = out.withColumn(str(idx_name), F.col("_unwind_pos").cast("long"))
+    return out.drop("_unwind_pos")
+
+
+def _stage_lookup(df: DataFrame, spec: dict, tables: dict[str, DataFrame]) -> DataFrame:
+    """Mongo `$lookup` (equality form): `as` becomes an array of ALL
+    matching foreign documents ([] when none — Mongo never emits null
+    here). Compiled as collect_list-of-struct per foreign key + a
+    null-safe equi join (Mongo matches null localField to null
+    foreignField). The gathered side is one row per distinct foreign key,
+    so Catalyst broadcasts it for dimension-sized collections and shuffle-
+    hash/sort-merge joins on the key otherwise — no driver collect, no
+    per-row Python. Sub-pipeline ($let/$expr) form unsupported."""
+    missing = [k for k in ("from", "localField", "foreignField", "as") if k not in spec]
+    if missing:
+        raise ValueError(f"$lookup requires {missing} (equality form)")
+    name = spec["from"]
+    if name not in tables:
+        raise ValueError(
+            f"$lookup from {name!r}: pass the collection as a DataFrame via "
+            f"compile_pipeline(..., tables={{'{name}': df}})"
+        )
+    foreign = tables[name]
+    lf, ff, as_ = spec["localField"], spec["foreignField"], spec["as"]
+    gathered = foreign.groupBy(F.col(ff).alias("_lk_key")).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in foreign.columns])).alias(as_)
+    )
+    out = df.join(gathered, F.col(lf).eqNullSafe(F.col("_lk_key")), "left").drop(
+        "_lk_key"
+    )
+    empty = F.array().cast(gathered.schema[as_].dataType)
+    return out.withColumn(as_, F.coalesce(F.col(as_), empty))
+
+
+def _stage_replace_root(df: DataFrame, spec) -> DataFrame:
+    """`$replaceRoot: {newRoot: "$struct"}` (alias `$replaceWith`):
+    promote an embedded document to the root — `select(struct.*)`."""
+    from pyspark.sql.types import StructType
+
+    new_root = spec.get("newRoot") if isinstance(spec, dict) else spec
+    if not (isinstance(new_root, str) and new_root.startswith("$")):
+        raise ValueError(f"$replaceRoot newRoot must be a '$field' reference, got {new_root!r}")
+    col = new_root[1:]
+    inner = df.select(_field(col).alias("_root")).schema["_root"].dataType
+    if not isinstance(inner, StructType):
+        raise ValueError(f"$replaceRoot newRoot {col!r} is not a document (struct)")
+    return df.select(f"{col}.*")
+
+
+def _stage_sort_by_count(df: DataFrame, spec) -> DataFrame:
+    """`$sortByCount: "$field"` = $group by the expression with a count,
+    then count-descending sort — Mongo's exact desugaring."""
+    if not (isinstance(spec, str) and spec.startswith("$")):
+        raise ValueError(f"$sortByCount takes a '$field' reference, got {spec!r}")
+    return (
+        df.groupBy(_field(spec[1:]).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc())
+    )
+
+
 def _stage_sort(df: DataFrame, doc: dict) -> DataFrame:
     cols = []
     for k, d in doc.items():
@@ -256,11 +360,19 @@ _STAGES = {
     "$count": lambda df, name: df.groupBy().agg(
         F.count(F.lit(1)).alias(str(name))
     ),
+    "$unwind": _stage_unwind,
+    "$replaceRoot": _stage_replace_root,
+    "$replaceWith": _stage_replace_root,
+    "$sortByCount": _stage_sort_by_count,
+    # $lookup is bound to `tables` inside compile_pipeline
 }
 
 
 def compile_pipeline(
-    pipeline_json: str, *, now: Callable[[], float] | None = None
+    pipeline_json: str,
+    *,
+    now: Callable[[], float] | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """JSON pipeline string → reusable DataFrame transform.
 
@@ -268,6 +380,7 @@ def compile_pipeline(
     the reference's replace-then-parse order (service wiring passes the
     config string through variables.Replace before ParsePipeline). The
     returned closure is pure plan construction: applying it runs no job.
+    `tables` supplies foreign collections for `$lookup` by name.
     """
     stages = json.loads(replace_variables(pipeline_json, now=now))
     if not isinstance(stages, list):
@@ -277,9 +390,14 @@ def compile_pipeline(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
         (name, spec), = stage.items()
+        if name == "$lookup":
+            bound = dict(tables or {})
+            compiled.append((lambda df, s, _t=bound: _stage_lookup(df, s, _t), spec))
+            continue
         if name not in _STAGES:
             raise ValueError(
-                f"unsupported pipeline stage {name!r} (supported: {sorted(_STAGES)})"
+                f"unsupported pipeline stage {name!r} (supported: "
+                f"{sorted(_STAGES) + ['$lookup']})"
             )
         compiled.append((_STAGES[name], spec))
 
@@ -292,7 +410,11 @@ def compile_pipeline(
 
 
 def apply_pipeline(
-    df: DataFrame, pipeline_json: str, *, now: Callable[[], float] | None = None
+    df: DataFrame,
+    pipeline_json: str,
+    *,
+    now: Callable[[], float] | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Parse + apply in one call (the common path)."""
-    return compile_pipeline(pipeline_json, now=now)(df)
+    return compile_pipeline(pipeline_json, now=now, tables=tables)(df)

@@ -146,7 +146,7 @@ def test_project_unset_limit(docs):
 
 def test_unknown_stage_and_operator_raise(docs):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline('[{"$lookup": {}}]')
+        compile_pipeline('[{"$facet": {}}]')
     with pytest.raises(ValueError, match="unsupported .match operator"):
         apply_pipeline(docs, '[{"$match": {"n": {"$mod": [2, 0]}}}]').count()
     with pytest.raises(ValueError, match="single-key"):
@@ -213,3 +213,86 @@ def test_sort_skip_limit_count(docs):
         apply_pipeline(docs, '[{"$sort": {"n": 0}}]')
     with pytest.raises(ValueError, match="accumulator"):
         apply_pipeline(docs, '[{"$group": {"_id": null, "x": {"$stdDevPop": "$n"}}}]')
+
+
+@pytest.fixture(scope="module")
+def arr_docs(spark):
+    # array-typed path + a doc with empty and null arrays (Mongo $unwind
+    # golden semantics: default drops both, preserve keeps both)
+    return spark.createDataFrame(
+        [
+            Row(k="a", tags=["x", "y"], sub=Row(u=1, v="p")),
+            Row(k="b", tags=[], sub=Row(u=2, v="q")),
+            Row(k="c", tags=None, sub=Row(u=3, v="r")),
+        ]
+    )
+
+
+def test_unwind_default_drops_null_and_empty(arr_docs):
+    out = apply_pipeline(arr_docs, '[ {"$unwind": "$tags"} ]')
+    rows = sorted((r.k, r.tags) for r in out.collect())
+    assert rows == [("a", "x"), ("a", "y")]
+
+
+def test_unwind_preserve_and_index(arr_docs):
+    pipe = (
+        '[ {"$unwind": {"path": "$tags", "includeArrayIndex": "i",'
+        '   "preserveNullAndEmptyArrays": true}} ]'
+    )
+    out = apply_pipeline(arr_docs, pipe)
+    rows = sorted(
+        ((r.k, r.tags, r.i) for r in out.collect()),
+        key=lambda t: (t[0], t[2] if t[2] is not None else -1),
+    )
+    assert rows == [
+        ("a", "x", 0), ("a", "y", 1), ("b", None, None), ("c", None, None),
+    ]
+
+
+def test_unwind_non_array_passthrough(docs):
+    # Mongo treats a non-array value as its own one-element array; null
+    # drops by default
+    out = apply_pipeline(docs, '[ {"$unwind": "$n"} ]')
+    assert sorted(r.n for r in out.collect()) == [1, 5, 9]
+
+
+def test_lookup_gathers_matches_and_empty_array(spark, docs):
+    dim = spark.createDataFrame(
+        [Row(repo="r1", owner="alice"), Row(repo="r1", owner="ann"),
+         Row(repo="r3", owner="bob")]
+    )
+    pipe = (
+        '[ {"$lookup": {"from": "repos", "localField": "repo",'
+        '   "foreignField": "repo", "as": "matches"}} ]'
+    )
+    out = apply_pipeline(docs, pipe, tables={"repos": dim})
+    by_repo = {r.repo: r.matches for r in out.collect()}
+    assert sorted(m.owner for m in by_repo["r1"]) == ["alice", "ann"]
+    assert by_repo["r2"] == []  # Mongo: empty array, never null
+
+
+def test_lookup_unknown_collection_raises(docs):
+    with pytest.raises(ValueError, match="lookup from"):
+        apply_pipeline(
+            docs,
+            '[ {"$lookup": {"from": "nope", "localField": "repo",'
+            '   "foreignField": "x", "as": "m"}} ]',
+        )
+
+
+def test_replace_root_promotes_struct(arr_docs):
+    out = apply_pipeline(arr_docs, '[ {"$replaceRoot": {"newRoot": "$sub"}} ]')
+    assert sorted(out.columns) == ["u", "v"]
+    assert sorted((r.u, r.v) for r in out.collect()) == [
+        (1, "p"), (2, "q"), (3, "r")]
+    out2 = apply_pipeline(arr_docs, '[ {"$replaceWith": "$sub"} ]')
+    assert sorted(out2.columns) == ["u", "v"]
+    with pytest.raises(ValueError, match="not a document"):
+        apply_pipeline(arr_docs, '[ {"$replaceRoot": {"newRoot": "$k"}} ]')
+
+
+def test_sort_by_count(docs):
+    out = apply_pipeline(docs, '[ {"$sortByCount": "$repo"} ]')
+    rows = [(r._id, r["count"]) for r in out.collect()]
+    assert sorted(rows) == [("r1", 2), ("r2", 2)]
+    assert out.columns == ["_id", "count"]
