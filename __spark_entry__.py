@@ -833,6 +833,39 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming/windows.py session_windows):
+    Catalyst-native session_window — one shuffle on user_id, windows merge
+    map-side — against DuckDB's gaps-and-islands formulation (lag + running
+    sum). Merge boundary is inclusive (an event exactly `gap` after the
+    last one still merges), pinned by a probe test; the oracle therefore
+    opens a session only when the gap strictly exceeds 30 minutes."""
+    from kafka_mongo_watcher_spark.streaming.windows import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_windows(ev, ts_col="ts", gap="30 minutes", keys=("user_id",))
+
+
+_EVENTS_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 _GROUP_PIPELINE_JSON = (
     '[ {"$match": {"value": {"$gte": 10.0}}},'
     '  {"$group": {"_id": "$event_type", "n": {"$sum": 1},'
@@ -926,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_lookup_unwind": _cdc_pipeline_lookup_unwind,
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_windowed_counts": _cdc_windowed_counts,
+        "events_sessionize": _events_sessionize,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -948,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_lookup_unwind": _CDC_PIPELINE_LOOKUP_ORACLE,
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
+        "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out

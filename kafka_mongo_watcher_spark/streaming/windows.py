@@ -26,6 +26,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of the same key belong
+    to one session while each is within `gap` of the previous (boundary is
+    inclusive — an event exactly `gap` after the last still merges, per
+    Spark's session-window interval semantics, probed and pinned by
+    tests/test_streaming.py). The training-data staple for turning raw
+    event logs into per-user behavioural sessions.
+
+    Catalyst-native `session_window`: a hash aggregate whose windows merge
+    within each key partition — one shuffle on the keys, map-side partial
+    merge, no Python and no self-join (the gaps-and-islands SQL this
+    replaces needs a full sort window + running sum; the DuckDB oracle in
+    __spark_entry__.py IS that formulation, checking the two agree).
+    Under `watermark`, the same plan runs in Structured Streaming with
+    state bounded to open sessions younger than the watermark.
+
+    Output: *keys, session_start, session_end (last event + gap),
+    n_events. session_end is the Spark convention — the instant the
+    session would have expired."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def tumbling_event_counts(
     events: DataFrame,
     *,

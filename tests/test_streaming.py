@@ -192,3 +192,62 @@ def test_tumbling_window_stream_equals_batch(spark, tmp_path):
     max_ts = max(ts for _, ts, _ in rows)
     closed = {k for k in batch if k[0] + dt.timedelta(hours=1) <= max_ts - dt.timedelta(minutes=30)}
     assert set(emitted) == closed
+
+
+def test_session_window_gap_boundary_and_stream_equals_batch(spark, tmp_path):
+    """Gap-based sessionization (streaming/windows.py session_windows).
+
+    1. Pins the merge boundary: an event exactly `gap` after the previous
+       one MERGES (Spark session intervals are inclusive at the end
+       instant); only a strictly larger gap opens a new session — the
+       DuckDB oracle in __spark_entry__.py encodes exactly this (`> gap`).
+    2. The streaming plan (complete mode, drained file source) equals the
+       batch plan — same golden strategy as the tumbling-window test.
+    """
+    import datetime as dt
+
+    from kafka_mongo_watcher_spark.streaming.windows import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        # uid 1: second event exactly at gap -> ONE session of 2
+        (1, base), (1, base + gap),
+        # uid 2: second event 1s past gap -> TWO sessions
+        (2, base), (2, base + gap + dt.timedelta(seconds=1)),
+        # uid 3: a chain 10m apart -> ONE session of 3
+        (3, base), (3, base + dt.timedelta(minutes=10)),
+        (3, base + dt.timedelta(minutes=20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_windows(df, gap="30 minutes").collect()
+    }
+    assert out[(1, base)] == (base + 2 * gap, 2)
+    assert out[(2, base)] == (base + gap, 1)
+    assert (2, base + gap + dt.timedelta(seconds=1)) in out
+    assert out[(3, base)] == (base + dt.timedelta(minutes=20) + gap, 3)
+    assert len(out) == 4
+
+    src = str(tmp_path / "sessrc")
+    df.coalesce(2).write.parquet(src)
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in session_windows(spark.read.parquet(src), gap="30 minutes").collect()
+    }
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        session_windows(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start(checkpointLocation=str(tmp_path / "ck_sess"))
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("select * from sess_complete").collect()
+    }
+    assert got == batch
