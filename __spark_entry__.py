@@ -170,6 +170,104 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 
 
 # ---------------------------------------------------------------------------
+# Time travel + incremental changelog (Iceberg VERSION AS OF / incremental
+# scan analogs): apply the derived log in two MOR batches, then (a) read the
+# table AS OF the first commit, (b) read the change rows the second commit
+# applied. Both against DuckDB oracles over the same derived log.
+# ---------------------------------------------------------------------------
+
+def _two_batch_mor_table(spark: SparkSession, sf_dir: str):
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    split = log.agg(F.max("commit_seq")).collect()[0][0] // 2 + 1
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_tt_"), n_buckets=16, write_mode="mor"
+    )
+    st0 = table.merge(
+        transform_events(log.filter(F.col("commit_seq") < split)),
+        source_id="tt", batch_id=0,
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") >= split)),
+        source_id="tt", batch_id=1,
+    )
+    return table, st0["version"]
+
+
+def _cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`at_version` time travel: final table holds both batches, but the
+    AS-OF view of the first commit must byte-equal the LWW state of the
+    first half-stream alone. Zero data movement — the view is the first
+    commit's manifest over the same immutable files."""
+    table, v0 = _two_batch_mor_table(spark, sf_dir)
+    return table.at_version(v0).snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+
+
+_CDC_TIME_TRAVEL_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+), split AS (
+  SELECT CAST(MAX(event_id) AS BIGINT) // 2 + 1 AS s FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log WHERE commit_seq < (SELECT s FROM split)
+)
+SELECT repo, path, commit, lang,
+       sha256(content_raw || chr(10)) AS content_sha256,
+       commit_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`changes()` incremental changelog (CDC out of the lake): the rows
+    the second commit applied — exactly the second half-stream's per-key
+    LWW winners, upserts and delete tombstones both, read as O(changes)
+    delta files with no join and no table scan."""
+    table, v0 = _two_batch_mor_table(spark, sf_dir)
+    return table.changes(v0).select(
+        "repo", "path", "commit_seq", "_change_type"
+    )
+
+
+_CDC_CHANGELOG_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path
+  FROM events
+), split AS (
+  SELECT CAST(MAX(event_id) AS BIGINT) // 2 + 1 AS s FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log WHERE commit_seq >= (SELECT s FROM split)
+)
+SELECT repo, path, commit_seq,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS _change_type
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # queries / oracle pairs
 # ---------------------------------------------------------------------------
 
@@ -960,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_windowed_counts": _cdc_windowed_counts,
         "events_sessionize": _events_sessionize,
+        "cdc_time_travel": _cdc_time_travel,
+        "cdc_changelog": _cdc_changelog,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -983,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
+        "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
+        "cdc_changelog": _CDC_CHANGELOG_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out

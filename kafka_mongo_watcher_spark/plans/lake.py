@@ -121,6 +121,7 @@ class LakeTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         manifest = {
             "version": 0,
+            "commit_kind": "create",
             "n_buckets": n_buckets,
             "write_mode": write_mode,
             "user_schema": user_schema or DEFAULT_USER_SCHEMA,
@@ -165,6 +166,13 @@ class LakeTable:
         self._load()
         return self
 
+    def _assert_writable(self) -> None:
+        if getattr(self, "_frozen", False):
+            raise ValueError(
+                f"table view at_version({self.version}) is read-only; "
+                "open the table by path to write"
+            )
+
     @property
     def version(self) -> int:
         return self.manifest["version"]
@@ -181,15 +189,18 @@ class LakeTable:
 
     # ---------- reads ----------
 
-    def _entry_files(self, section: str, b: str) -> list[str]:
+    def _entry_files(self, section: str, b: str, manifest: dict | None = None) -> list[str]:
         """Resolve one bucket entry: inline list, or {"ref", "n"} sidecar
         pointer (the main manifest stays O(buckets); per-bucket file lists
         live in immutable blob files under _manifests/blobs — the Iceberg
         manifest-file indirection. VERDICT r2 §next 9: one flat JSON holding
         every file path of every bucket is a driver-memory/IO hazard at 10^5
         files; unchanged buckets now carry their pointer forward so commit
-        IO is O(changed buckets))."""
-        e = self.manifest[section].get(b, [])
+        IO is O(changed buckets)). `manifest` overrides the current one for
+        time-travel/changelog reads; sidecar blobs are immutable so the
+        cache is shared across versions."""
+        m = manifest if manifest is not None else self.manifest
+        e = m[section].get(b, [])
         if isinstance(e, list):
             return e
         ref = e["ref"]
@@ -294,6 +305,117 @@ class LakeTable:
         """User-facing view: user schema only."""
         return self.snapshot().select(*[n for n, _ in self.manifest["user_schema"]])
 
+    # ---------- time travel / changelog (Iceberg snapshot + incremental
+    # scan analogs; data files are immutable and never garbage-collected
+    # here, so every committed manifest stays readable) ----------
+
+    def _manifest_at(self, version: int) -> dict:
+        mpath = os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+        if not os.path.isfile(mpath):
+            raise ValueError(f"no committed version {version} at {self.path}")
+        with open(mpath) as f:
+            m = json.load(f)
+        m.setdefault("write_mode", "cow")
+        m.setdefault("deltas", {})
+        return m
+
+    def at_version(self, version: int) -> "LakeTable":
+        """Time travel: a READ-ONLY view of the table as of `version`
+        (Iceberg `VERSION AS OF`). Reads resolve against that version's
+        manifest — including its user_schema, so a pre-evolution snapshot
+        reads with the pre-evolution columns. Zero data movement: the view
+        is just a different manifest over the same immutable files."""
+        t = object.__new__(LakeTable)
+        t.spark = self.spark
+        t.path = self.path
+        t._sidecar_cache = self._sidecar_cache  # blobs are immutable
+        t.manifest = self._manifest_at(version)
+        t._frozen = True
+        return t
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first — the Iceberg `snapshots` metadata
+        table analog. Driver-side metadata only (one small JSON per
+        version); no Spark job."""
+        mdir = os.path.join(self.path, "_manifests")
+        out = []
+        for fn in sorted(os.listdir(mdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            m = json.load(open(os.path.join(mdir, fn)))
+            out.append(
+                {
+                    "version": m["version"],
+                    "commit_kind": m.get("commit_kind", "unknown"),
+                    "write_mode": m.get("write_mode", "cow"),
+                    "applied": m.get("applied", {}),
+                    "stats": m.get("stats", {}),
+                }
+            )
+        return out
+
+    def changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog — the rows each MERGE commit in
+        (since_version, until_version] applied, i.e. CDC *out* of the lake
+        (Iceberg incremental read / `table_changes` analog). Output is the
+        full internal schema plus `_commit_version` and `_change_type`
+        ('upsert' | 'delete'); per (key, _commit_version) there is exactly
+        one row — the batch's LWW winner.
+
+        Scale shape: a MERGE version's delta files are exactly its change
+        rows, so this reads O(changed rows) parquet — no join, no shuffle,
+        no table scan. Compaction commits rewrite files without logical
+        changes and contribute nothing. MOR only: a COW merge folds its
+        changes into rewritten bucket files, so the per-commit rows are
+        not isolated on disk — raises rather than over-reporting."""
+        until = self.version if until_version is None else until_version
+        if not 0 <= since_version <= until <= self.version:
+            raise ValueError(
+                f"bad version range ({since_version}, {until}] for table at v{self.version}"
+            )
+        schema = self._struct_type()
+        out = None
+        for v in range(since_version + 1, until + 1):
+            m = self._manifest_at(v)
+            kind = m.get("commit_kind", "unknown")
+            if kind in ("compact", "create"):
+                continue
+            if kind != "merge":
+                raise ValueError(
+                    f"version {v} has commit_kind {kind!r}; changelog needs "
+                    "manifests stamped by this engine"
+                )
+            if m["write_mode"] != "mor":
+                raise ValueError(
+                    "changelog requires a merge-on-read table (COW rewrites "
+                    "do not isolate per-commit change rows)"
+                )
+            prefix = os.path.join("data", f"v{v:08d}") + os.sep
+            files = [
+                os.path.join(self.path, f)
+                for b in m["deltas"]
+                for f in self._entry_files("deltas", b, manifest=m)
+                if f.startswith(prefix)
+            ]
+            if not files:
+                continue
+            df = self.spark.read.schema(schema).parquet(*files).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            return (
+                self.spark.createDataFrame([], schema)
+                .withColumn("_commit_version", F.lit(0))
+                .withColumn("_change_type", F.lit(""))
+            )
+        return out.withColumn(
+            "_change_type",
+            F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+
     def bucket_of(self, repo: str, path: str) -> int:
         """The key's bucket, computed in pure Python — byte-identical to the
         Spark expression pmod(xxhash64(repo, path), n_buckets) (verified in
@@ -346,6 +468,7 @@ class LakeTable:
         snapshot commit. `batch` columns: repo, path, op, commit_seq, offset,
         partition_id, plus payload columns (commit, content, content_sha256,
         lang, ...). Returns per-merge stats incl. per-partition lineage."""
+        self._assert_writable()
         import time as _time
 
         applied = self.manifest["applied"]
@@ -569,6 +692,7 @@ class LakeTable:
             new_deltas = self._externalize("deltas", new_deltas, new_version)
             new_manifest = {
                 "version": new_version,
+                "commit_kind": "merge",
                 "n_buckets": self.n_buckets,
                 "write_mode": "mor",
                 "user_schema": [list(x) for x in user_schema],
@@ -623,6 +747,7 @@ class LakeTable:
             if not touched:
                 new_manifest = dict(self.manifest)
                 new_manifest["version"] = self.version + 1
+                new_manifest["commit_kind"] = "merge"
                 new_manifest["applied"] = {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)}
                 self._commit(new_manifest)
                 return {"skipped": False, "version": self.version, "merged_rows": 0,
@@ -738,6 +863,7 @@ class LakeTable:
         new_buckets = self._externalize("buckets", new_buckets, new_version)
         new_manifest = {
             "version": new_version,
+            "commit_kind": "merge",
             "n_buckets": self.n_buckets,
             "write_mode": self.manifest["write_mode"],
             "user_schema": [list(x) for x in user_schema],
@@ -829,6 +955,7 @@ class LakeTable:
         into one resolved base file. This is how MOR read amplification stays
         bounded WITHOUT ever rewriting the whole table — only the listed
         buckets move (Iceberg rewrite_data_files scoped by partition)."""
+        self._assert_writable()
         ids = sorted({int(b) for b in bucket_ids})
         df = self._bucket_local_resolve(ids, purge_tombstones=purge_tombstones)
         new_version = self.version + 1
@@ -852,6 +979,7 @@ class LakeTable:
             new_deltas.pop(str(b), None)  # delta chain folded in
         manifest = dict(self.manifest)
         manifest["version"] = new_version
+        manifest["commit_kind"] = "compact"
         manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
         manifest["deltas"] = self._externalize("deltas", new_deltas, new_version)
         self._commit(manifest)
