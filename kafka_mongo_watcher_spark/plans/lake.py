@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +99,10 @@ def _ddl(fields: list[tuple[str, str]]) -> str:
 
 
 class LakeTable:
+    # Injectable commit clock (same seam as sources.events/start_at_delay):
+    # tests pin it per-instance for deterministic at_timestamp/expiry cases.
+    _clock = staticmethod(time.time)
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -122,6 +127,7 @@ class LakeTable:
         manifest = {
             "version": 0,
             "commit_kind": "create",
+            "committed_at": cls._clock(),
             "n_buckets": n_buckets,
             "write_mode": write_mode,
             "user_schema": user_schema or DEFAULT_USER_SCHEMA,
@@ -333,6 +339,27 @@ class LakeTable:
         t._frozen = True
         return t
 
+    def at_timestamp(self, ts: float) -> "LakeTable":
+        """Time travel by wall clock: the table as of the LAST commit whose
+        `committed_at` <= `ts` (Iceberg `TIMESTAMP AS OF`). Driver-side
+        metadata scan only; manifests predating the timestamp stamp sort as
+        epoch 0 (always eligible)."""
+        best = None
+        mdir = os.path.join(self.path, "_manifests")
+        for fn in os.listdir(mdir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:-5])
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            if m.get("committed_at", 0.0) <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} at {self.path}"
+            )
+        return self.at_version(best)
+
     def history(self) -> list[dict]:
         """Commit log, oldest first — the Iceberg `snapshots` metadata
         table analog. Driver-side metadata only (one small JSON per
@@ -346,6 +373,7 @@ class LakeTable:
             out.append(
                 {
                     "version": m["version"],
+                    "committed_at": m.get("committed_at"),
                     "commit_kind": m.get("commit_kind", "unknown"),
                     "write_mode": m.get("write_mode", "cow"),
                     "applied": m.get("applied", {}),
@@ -888,6 +916,7 @@ class LakeTable:
         }
 
     def _commit(self, manifest: dict) -> None:
+        manifest["committed_at"] = self._clock()
         self._write_manifest(self.path, manifest)
         self._flip_latest(self.path, manifest["version"])
         self.manifest = manifest
@@ -984,6 +1013,91 @@ class LakeTable:
         manifest["deltas"] = self._externalize("deltas", new_deltas, new_version)
         self._commit(manifest)
         return {"version": new_version, "buckets": len(ids)}
+
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int | None = None,
+        older_than_s: float | None = None,
+    ) -> dict:
+        """Retention GC — the Iceberg `expire_snapshots` analog, and the
+        reason time travel stays affordable at 10^10 events: without it the
+        data dir accumulates every delta file ever written.
+
+        Retains the CURRENT version unconditionally, plus the newest
+        `keep_last` versions, plus every version younger than
+        `older_than_s` seconds (criteria OR together; at least one is
+        required). Everything else goes: expired manifest JSONs, sidecar
+        blobs no retained manifest references, and data files no retained
+        manifest references. `at_version`/`changes` on an expired version
+        raise afterwards, exactly like Iceberg.
+
+        Scale shape: pure driver-side metadata + file deletes — no Spark
+        job. Work is O(files on disk + retained manifest entries); data
+        files are never read. Safe with the single-writer model: nothing
+        retained is ever deleted, and the current manifest (incl. the
+        `applied` fencing map) is always retained, so exactly-once replay
+        is unaffected."""
+        self._assert_writable()
+        if keep_last is None and older_than_s is None:
+            raise ValueError("need keep_last and/or older_than_s")
+        mdir = os.path.join(self.path, "_manifests")
+        versions = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(mdir)
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+        )
+        cutoff_ts = (
+            self._clock() - older_than_s if older_than_s is not None else None
+        )
+        retained: set[int] = {self.version}
+        if keep_last:  # keep_last=0 → current version only
+            retained.update(versions[-keep_last:])
+        referenced_files: set[str] = set()  # rel paths under table root
+        referenced_blobs: set[str] = set()  # rel paths under _manifests
+        retained_manifests = []
+        for v in versions:
+            m = self._manifest_at(v)
+            if v not in retained and cutoff_ts is not None:
+                if m.get("committed_at", 0.0) >= cutoff_ts:
+                    retained.add(v)
+            if v in retained:
+                retained_manifests.append(m)
+        for m in retained_manifests:
+            for section in ("buckets", "deltas"):
+                for b, e in m.get(section, {}).items():
+                    if isinstance(e, dict):
+                        referenced_blobs.add(e["ref"])
+                    referenced_files.update(
+                        self._entry_files(section, b, manifest=m)
+                    )
+        stats = {"expired_versions": 0, "data_files_removed": 0,
+                 "blobs_removed": 0, "bytes_removed": 0}
+        for v in versions:
+            if v not in retained:
+                os.remove(os.path.join(mdir, f"v{v:08d}.json"))
+                stats["expired_versions"] += 1
+        blob_dir = os.path.join(mdir, "blobs")
+        if os.path.isdir(blob_dir):
+            for fn in os.listdir(blob_dir):
+                ref = os.path.join("blobs", fn)
+                if ref not in referenced_blobs:
+                    os.remove(os.path.join(blob_dir, fn))
+                    self._sidecar_cache.pop(ref, None)
+                    stats["blobs_removed"] += 1
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if fn.endswith(".parquet") and rel not in referenced_files:
+                    stats["bytes_removed"] += os.path.getsize(full)
+                    os.remove(full)
+                    stats["data_files_removed"] += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        stats["retained_versions"] = sorted(retained & set(versions))
+        return stats
 
     def compact(self, *, purge_tombstones: bool = True) -> dict:
         """Rewrite every bucket into one resolved file each (folding any MOR
