@@ -98,6 +98,53 @@ def _ddl(fields: list[tuple[str, str]]) -> str:
     return ", ".join(f"`{n}` {t}" for n, t in fields)
 
 
+def _is_ref(e) -> bool:
+    """True when a manifest entry is a sidecar pointer {"ref","n"} rather
+    than an inline value. Inline values are lists (file lists) or dicts
+    keyed by relative file paths (key-stats), so the two-key shape is
+    unambiguous — relpaths contain '/' and end in .parquet."""
+    return isinstance(e, dict) and set(e) == {"ref", "n"}
+
+
+def _footer_key_stats(abs_path: str):
+    """Per-file key statistics read from the parquet FOOTER — no data pages
+    are touched. Returns [repo_min, repo_max, path_min, path_max, num_rows]
+    or None when the footer lacks usable min/max (pruning then degrades to
+    'always scan this file', never to a wrong answer). The Iceberg
+    manifest-entry lower_bounds/upper_bounds analog."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if "repo" not in idx or "path" not in idx:
+        return None
+    bounds = {}
+    for name in ("repo", "path"):
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[name]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "surrogateescape")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "surrogateescape")
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        bounds[name] = (lo, hi)
+    return [
+        bounds["repo"][0],
+        bounds["repo"][1],
+        bounds["path"][0],
+        bounds["path"][1],
+        md.num_rows,
+    ]
+
+
 class LakeTable:
     # Injectable commit clock (same seam as sources.events/start_at_delay):
     # tests pin it per-instance for deterministic at_timestamp/expiry cases.
@@ -133,6 +180,7 @@ class LakeTable:
             "user_schema": user_schema or DEFAULT_USER_SCHEMA,
             "buckets": {},
             "deltas": {},
+            "file_stats": {},
             "applied": {},
             "lineage": {},
             "stats": {"rows": 0, "tombstones": 0},
@@ -206,8 +254,8 @@ class LakeTable:
         time-travel/changelog reads; sidecar blobs are immutable so the
         cache is shared across versions."""
         m = manifest if manifest is not None else self.manifest
-        e = m[section].get(b, [])
-        if isinstance(e, list):
+        e = m.get(section, {}).get(b, [])
+        if not _is_ref(e):
             return e
         ref = e["ref"]
         if ref not in self._sidecar_cache:
@@ -217,7 +265,7 @@ class LakeTable:
 
     @staticmethod
     def _entry_count(e) -> int:
-        return len(e) if isinstance(e, list) else e["n"]
+        return e["n"] if _is_ref(e) else len(e)
 
     def _externalize(self, section: str, entries: dict, version: int) -> dict:
         """Spill any INLINE entry with more files than the inline cap out to
@@ -228,18 +276,61 @@ class LakeTable:
         out = {}
         blob_dir = os.path.join(self.path, "_manifests", "blobs")
         for b, e in entries.items():
-            if isinstance(e, list) and len(e) > cap:
+            if not _is_ref(e) and len(e) > cap:
                 os.makedirs(blob_dir, exist_ok=True)
                 ref = os.path.join("blobs", f"v{version:08d}_{section}_{b}.json")
                 tmp = os.path.join(self.path, "_manifests", ref) + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(e, f)
                 os.replace(tmp, os.path.join(self.path, "_manifests", ref))
-                self._sidecar_cache[ref] = list(e)
+                self._sidecar_cache[ref] = list(e) if isinstance(e, list) else dict(e)
                 out[b] = {"ref": ref, "n": len(e)}
             else:
                 out[b] = e
         return out
+
+    # ---------- per-file key statistics (Iceberg lower/upper bounds) ------
+
+    def _stats_of(self, b: str, manifest: dict | None = None) -> dict:
+        """Resolved key-stats dict for one bucket:
+        {relpath: [repo_min, repo_max, path_min, path_max, rows]}.
+        Missing section / bucket / file all degrade to {} (no pruning)."""
+        e = self._entry_files("file_stats", b, manifest)
+        return e if isinstance(e, dict) else {}
+
+    def _collect_key_stats(self, rel_files: list[str]) -> dict:
+        """Footer-only stats for freshly written files. Driver-side for small
+        batches (O(ms) per local footer read); a tiny Spark job past
+        `kmw.stats.driverFooterMax` so a 10^4-file commit never serializes
+        footer IO through the driver. Disable with kmw.stats.collect=false."""
+        if _conf(self.spark, "kmw.stats.collect", "true") != "true" or not rel_files:
+            return {}
+        root = self.path
+        cap = int(_conf(self.spark, "kmw.stats.driverFooterMax", "64"))
+        if len(rel_files) <= cap:
+            pairs = [(rf, _footer_key_stats(os.path.join(root, rf))) for rf in rel_files]
+        else:
+            rdd = self.spark.sparkContext.parallelize(
+                rel_files, max(1, len(rel_files) // 16)
+            )
+            pairs = rdd.map(
+                lambda rf: (rf, _footer_key_stats(os.path.join(root, rf)))
+            ).collect()
+        return {rf: s for rf, s in pairs if s is not None}
+
+    @staticmethod
+    def _file_may_contain(stats, repo: str, path: str) -> bool:
+        """Conservative containment test against a file's key bounds. True
+        (scan it) whenever stats are absent; a file is skipped only when the
+        key provably falls outside [min, max]."""
+        if not stats:
+            return True
+        rmin, rmax, pmin, pmax, _rows = stats
+        if repo < rmin or repo > rmax:
+            return False
+        if rmin == rmax and (path < pmin or path > pmax):
+            return False
+        return True
 
     def _files_of(self, section: str, bucket_ids=None) -> list[str]:
         m = self.manifest[section]
@@ -360,6 +451,27 @@ class LakeTable:
             )
         return self.at_version(best)
 
+    def rollback(self, version: int) -> dict:
+        """Restore the table to an earlier committed version as a NEW
+        forward commit — the Iceberg `rollback_to_snapshot` analog. History
+        is append-only: the bad commits stay inspectable via `at_version`,
+        and the restored state gets version `current+1`.
+
+        The `applied` exactly-once fencing map rolls back WITH the state:
+        the manifest is the single source of truth, so batches merged after
+        the restored version are no longer marked applied and a resumed
+        stream will re-deliver and re-apply them (idempotent by design).
+        Raises if `version` was expired by `expire_snapshots` (its data
+        files may be gone). Driver-side metadata only; no Spark job."""
+        self._assert_writable()
+        old = self._manifest_at(version)  # raises KeyError-style if expired
+        m = dict(old)
+        m["version"] = self.version + 1
+        m["commit_kind"] = "rollback"
+        m["rolled_back_to"] = version
+        self._commit(m)
+        return {"version": m["version"], "restored": version}
+
     def history(self) -> list[dict]:
         """Commit log, oldest first — the Iceberg `snapshots` metadata
         table analog. Driver-side metadata only (one small JSON per
@@ -378,6 +490,11 @@ class LakeTable:
                     "write_mode": m.get("write_mode", "cow"),
                     "applied": m.get("applied", {}),
                     "stats": m.get("stats", {}),
+                    **(
+                        {"rolled_back_to": m["rolled_back_to"]}
+                        if "rolled_back_to" in m
+                        else {}
+                    ),
                 }
             )
         return out
@@ -453,14 +570,40 @@ class LakeTable:
 
         return spark_pmod_bucket([repo, path], self.n_buckets)
 
+    def _lookup_files(self, repo: str, path: str) -> tuple[list[str], list[str]]:
+        """(base_files, delta_files) a point read must scan: the key's
+        bucket's files, minus every file whose footer key-bounds prove the
+        key absent. Relative paths; both driver-side, zero Spark jobs."""
+        b = str(self.bucket_of(repo, path))
+        stats = self._stats_of(b)
+        keep = lambda fs: [  # noqa: E731
+            f for f in fs if self._file_may_contain(stats.get(f), repo, path)
+        ]
+        return (
+            keep(self._entry_files("buckets", b)),
+            keep(self._entry_files("deltas", b)),
+        )
+
     def lookup(self, repo: str, path: str) -> DataFrame:
-        """Point read with bucket pruning: the key's bucket is computed
-        driver-side (no Spark job), then only that bucket's files are
-        scanned — O(table/n_buckets) instead of a full scan. The Iceberg
-        bucket-transform partition-pruning analog."""
-        return self.read_buckets(
-            [self.bucket_of(repo, path)], include_tombstones=False
-        ).filter((F.col("repo") == repo) & (F.col("path") == path))
+        """Point read with two-level pruning, no Spark job for planning:
+        (1) bucket pruning — the key's bucket is computed driver-side via the
+        pure-Python XXH64, so only that bucket's files are candidates
+        (O(table/n_buckets), the Iceberg bucket-transform analog); then
+        (2) file pruning — per-file (repo, path) min/max bounds recorded in
+        the manifest at commit time drop every file whose range excludes the
+        key (the Iceberg lower/upper-bounds data-skipping analog). Base and
+        compacted files are written key-sorted, so their bounds are tight;
+        at 100 TB a point read touches one or two files, not a bucket's
+        whole delta chain. Pruning is sound w.r.t. MOR: a pruned file
+        provably holds no row of this key, so LWW over the remaining files
+        sees every version of the key."""
+        base, deltas = self._lookup_files(repo, path)
+        df = self._read_files([os.path.join(self.path, f) for f in base + deltas])
+        if deltas:
+            df = self._resolve_lww(df)
+        return df.filter(
+            (F.col("repo") == repo) & (F.col("path") == path) & ~F.col("is_deleted")
+        )
 
     # ---------- merge (the core operator) ----------
 
@@ -686,13 +829,19 @@ class LakeTable:
             # stage to 32 tasks on any larger cluster (VERDICT r2 §wrong 3).
             # Override with kmw.mor.maxWriters.
             n_writers = self._writer_count()
-            (
-                winners.observe(obs, F.count(F.lit(1)).alias("rows"))
-                .repartition(n_writers, "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(out_dir)
+            to_write = winners.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
+                n_writers, "_bucket"
             )
+            if _conf(self.spark, "kmw.write.sortByKey", "true") == "true":
+                # Key-sorted delta files: the dynamic-partition write already
+                # sorts each task by _bucket; widening that same sort to
+                # (_bucket, repo, path) is two extra string comparators —
+                # FileFormatWriter sees its required ordering satisfied and
+                # plans NO second sort — and buys tight per-file key bounds
+                # (footer stats → lookup pruning) plus better RLE/dict
+                # compression on the key columns.
+                to_write = to_write.sortWithinPartitions("_bucket", *KEY_COLS)
+            to_write.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
             # NB: Observation metrics can over-count on stage retries /
             # speculative re-execution; merged_rows is reporting-only (never
             # feeds an invariant) — anything invariant-grade must come from
@@ -707,17 +856,29 @@ class LakeTable:
                 if d.startswith("_bucket=")
             ) if os.path.isdir(out_dir) else []
             new_deltas = dict(self.manifest["deltas"])  # refs carried verbatim
+            new_stats = dict(self.manifest.get("file_stats", {}))  # refs carried
+            new_by_bucket: dict[str, list[str]] = {}
             written = 0
             for b in touched:
                 files = self._ls_bucket(out_dir, rel_dir, b)
                 written += len(files)
                 if files:
                     new_deltas[str(b)] = self._entry_files("deltas", str(b)) + files
+                    new_by_bucket[str(b)] = files
+            collected = self._collect_key_stats(
+                [f for fs in new_by_bucket.values() for f in fs]
+            )
+            for b, files in new_by_bucket.items():
+                entry = dict(self._stats_of(b))  # old bounds kept for old files
+                entry.update({f: collected[f] for f in files if f in collected})
+                if entry:
+                    new_stats[b] = entry
             lineage = {
                 str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
                 for r in lineage_rows
             }
             new_deltas = self._externalize("deltas", new_deltas, new_version)
+            new_stats = self._externalize("file_stats", new_stats, new_version)
             new_manifest = {
                 "version": new_version,
                 "commit_kind": "merge",
@@ -726,6 +887,7 @@ class LakeTable:
                 "user_schema": [list(x) for x in user_schema],
                 "buckets": dict(self.manifest["buckets"]),
                 "deltas": new_deltas,
+                "file_stats": new_stats,
                 "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
                 "lineage": lineage,
                 "stats": {"delta_files": sum(self._entry_count(v) for v in new_deltas.values())},
@@ -858,14 +1020,15 @@ class LakeTable:
             # exchange); win_out gets one small shuffle to align buckets;
             # union concatenates partitions without reshuffling either side.
             sc.setJobDescription(f"merge[{source_id}/{batch_id}]: COW write ({len(touched)} buckets)")
-            (
-                kept.unionByName(
-                    win_out.repartition(self._writer_count(len(touched)), "_bucket")
-                )
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(out_dir)
+            cow_out = kept.unionByName(
+                win_out.repartition(self._writer_count(len(touched)), "_bucket")
             )
+            if _conf(self.spark, "kmw.write.sortByKey", "true") == "true":
+                # same rationale as the MOR delta write: the dynamic-partition
+                # writer's mandatory per-task _bucket sort is widened to the
+                # key, so rewritten base files carry tight footer key bounds
+                cow_out = cow_out.sortWithinPartitions("_bucket", *KEY_COLS)
+            cow_out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
             _mark("cow_write")
         finally:
             winners.unpersist()
@@ -875,20 +1038,35 @@ class LakeTable:
 
         # build the new manifest: touched buckets → new files, rest carried over
         new_buckets = dict(self.manifest["buckets"])
+        new_stats = dict(self.manifest.get("file_stats", {}))  # refs carried
+        new_by_bucket: dict[str, list[str]] = {}
         written = 0
         for b in touched:
             files = self._ls_bucket(out_dir, rel_dir, b)
             written += len(files)
             if files:
                 new_buckets[str(b)] = files
+                new_by_bucket[str(b)] = files
             else:
                 new_buckets.pop(str(b), None)  # bucket emptied (all deleted)
+                new_stats.pop(str(b), None)
+        # COW replaces a touched bucket's files wholesale → fresh stats entry
+        collected = self._collect_key_stats(
+            [f for fs in new_by_bucket.values() for f in fs]
+        )
+        for b, files in new_by_bucket.items():
+            entry = {f: collected[f] for f in files if f in collected}
+            if entry:
+                new_stats[b] = entry
+            else:
+                new_stats.pop(b, None)
 
         lineage = {
             str(r["partition_id"]): {"events": r["events"], "max_offset": r["max_offset"]}
             for r in lineage_rows
         }
         new_buckets = self._externalize("buckets", new_buckets, new_version)
+        new_stats = self._externalize("file_stats", new_stats, new_version)
         new_manifest = {
             "version": new_version,
             "commit_kind": "merge",
@@ -897,6 +1075,7 @@ class LakeTable:
             "user_schema": [list(x) for x in user_schema],
             "buckets": new_buckets,
             "deltas": dict(self.manifest["deltas"]),
+            "file_stats": new_stats,
             "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
             "lineage": lineage,
             "stats": {"files": sum(self._entry_count(v) for v in new_buckets.values())},
@@ -999,18 +1178,32 @@ class LakeTable:
             self.spark.sparkContext.setJobDescription(None)
         new_buckets = dict(self.manifest["buckets"])
         new_deltas = dict(self.manifest["deltas"])
+        new_stats = dict(self.manifest.get("file_stats", {}))
+        new_by_bucket: dict[str, list[str]] = {}
         for b in ids:
             files = self._ls_bucket(out_dir, rel_dir, b)
             if files:
                 new_buckets[str(b)] = files
+                new_by_bucket[str(b)] = files
             else:
                 new_buckets.pop(str(b), None)  # bucket emptied
+            new_stats.pop(str(b), None)  # folded files' bounds all stale
             new_deltas.pop(str(b), None)  # delta chain folded in
+        # compacted output is key-sorted (the lag-window's sort), so these
+        # bounds are as tight as they get
+        collected = self._collect_key_stats(
+            [f for fs in new_by_bucket.values() for f in fs]
+        )
+        for b, files in new_by_bucket.items():
+            entry = {f: collected[f] for f in files if f in collected}
+            if entry:
+                new_stats[b] = entry
         manifest = dict(self.manifest)
         manifest["version"] = new_version
         manifest["commit_kind"] = "compact"
         manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
         manifest["deltas"] = self._externalize("deltas", new_deltas, new_version)
+        manifest["file_stats"] = self._externalize("file_stats", new_stats, new_version)
         self._commit(manifest)
         return {"version": new_version, "buckets": len(ids)}
 
@@ -1066,11 +1259,14 @@ class LakeTable:
         for m in retained_manifests:
             for section in ("buckets", "deltas"):
                 for b, e in m.get(section, {}).items():
-                    if isinstance(e, dict):
+                    if _is_ref(e):
                         referenced_blobs.add(e["ref"])
                     referenced_files.update(
                         self._entry_files(section, b, manifest=m)
                     )
+            for _b, e in m.get("file_stats", {}).items():
+                if _is_ref(e):
+                    referenced_blobs.add(e["ref"])
         stats = {"expired_versions": 0, "data_files_removed": 0,
                  "blobs_removed": 0, "bytes_removed": 0}
         for v in versions:

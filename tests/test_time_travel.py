@@ -102,3 +102,29 @@ def test_changes_plan_reads_only_delta_files(seq_table):
     delta files — never base buckets, never other versions."""
     files = seq_table.changes(1, 2).inputFiles()
     assert files and all("/data/v00000002/" in f for f in files)
+
+
+def test_rollback_restores_state_as_forward_commit(seq_table):
+    """Iceberg rollback_to_snapshot analog: state (and the exactly-once
+    `applied` fencing) return to the target version under a NEW version
+    number; bad commits stay inspectable."""
+    t = seq_table                       # at v4
+    assert t.rollback(2)["version"] == 5
+    assert t.version == 5
+    assert _state(t) == _state(t.at_version(2))
+    assert t.manifest["applied"] == t._manifest_at(2)["applied"]
+    hist = t.history()
+    assert hist[-1]["commit_kind"] == "rollback"
+    assert hist[-1]["rolled_back_to"] == 2
+    # forward merges keep working; the re-applied batch id 2 is NOT fenced
+    # (its commit was rolled back), so replaying it reconverges the state
+    t.merge(_batch(t.spark, [_row("insert", "s", "x", 7)]),
+            source_id="s", batch_id=2)
+    assert _state(t) == _state(t.at_version(4))
+
+
+def test_rollback_to_expired_version_raises(seq_table):
+    t = seq_table
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no committed version"):
+        t.rollback(1)
