@@ -1041,6 +1041,77 @@ FROM events GROUP BY event_type ORDER BY count DESC
 """
 
 
+# Fixed key list for the point-lookup contract query: users {3, 17, 42, 55}
+# × path suffixes {0, 7}. Keys that never occur (or whose last op is a
+# delete) return zero rows from BOTH the engine and the oracle — absence is
+# part of the contract.
+_LOOKUP_KEYS = [
+    (f"org-{u % 20}/repo-{u % 7}", f"src/file_{u}_{s}.py")
+    for u in (3, 17, 42, 55)
+    for s in (0, 7)
+]
+
+
+def _cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned point reads over a 3-batch MOR lake: each lookup plans
+    driver-side (bucket via pure-Python XXH64, then per-file key bounds from
+    the manifest prune the delta chain) and scans only the surviving files —
+    the Iceberg lower/upper-bounds data-skipping analog
+    (plans/lake.py::LakeTable.lookup). The 3-way batch split by commit_seq
+    % 3 applies keys out of order across batches, so the lookups also prove
+    LWW resolution through the pruned path."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_lookup_"), n_buckets=16,
+        write_mode="mor",
+    )
+    for i in range(3):
+        table.merge(
+            transform_events(log.filter(F.col("commit_seq") % 3 == i)),
+            source_id="entry", batch_id=i,
+        )
+    out = None
+    for repo, path in _LOOKUP_KEYS:
+        d = table.lookup(repo, path)
+        out = d if out is None else out.unionByName(d)
+    return out.select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+
+
+_CDC_POINT_LOOKUP_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log
+)
+SELECT repo, path, commit, lang,
+       sha256(content_raw || chr(10)) AS content_sha256,
+       commit_seq
+FROM ranked
+WHERE rn = 1 AND op <> 'delete' AND ({keys})
+""".format(
+    keys=" OR ".join(
+        f"(repo = '{r}' AND path = '{p}')" for r, p in _LOOKUP_KEYS
+    )
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
@@ -1060,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
+        "cdc_point_lookup": _cdc_point_lookup,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -1085,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
+        "cdc_point_lookup": _CDC_POINT_LOOKUP_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out

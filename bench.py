@@ -40,7 +40,8 @@ def bench_cdc_replay(
     salted: bool,
     n_batches: int = 4,
     write_mode: str = "mor",
-) -> float:
+    probe_lookups: int = 0,
+) -> dict:
     """Timed: N micro-batch merges + (for MOR) a final full compaction, so
     the number covers the entire cost of producing a read-optimized table —
     deltas are never left unpaid-for."""
@@ -70,7 +71,26 @@ def bench_cdc_replay(
             )
         if write_mode == "mor":
             table.compact()
-        return time.time() - t0
+        out = {"seconds": time.time() - t0}
+        if probe_lookups:
+            # point-read latency through the pruned path (bucket via
+            # driver-side XXH64, then per-file key bounds): keys sampled
+            # untimed, each lookup timed end-to-end incl. the collect
+            keys = [
+                (r["repo"], r["path"])
+                for r in table.snapshot()
+                .select("repo", "path")
+                .limit(probe_lookups)
+                .collect()
+            ]
+            lat = []
+            for repo, path in keys:
+                t1 = time.time()
+                table.lookup(repo, path).collect()
+                lat.append(time.time() - t1)
+            lat.sort()
+            out["lookup_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -112,15 +132,17 @@ def main() -> None:
     bench_cdc_replay(spark, n_events, salted=False)
     bench_cdc_replay(spark, n_events, salted=False)
 
-    t = bench_cdc_replay(spark, n_events, salted=False)
+    r = bench_cdc_replay(spark, n_events, salted=False, probe_lookups=21)
+    t = r["seconds"]
     queries["cdc_replay"] = round(t, 3)
+    lookup_p50_ms = r["lookup_p50_ms"]
     events_per_sec = n_events / t
 
     queries["cdc_replay_salted"] = round(
-        bench_cdc_replay(spark, n_events, salted=True), 3
+        bench_cdc_replay(spark, n_events, salted=True)["seconds"], 3
     )
     queries["cdc_replay_cow"] = round(
-        bench_cdc_replay(spark, n_events, salted=False, write_mode="cow"), 3
+        bench_cdc_replay(spark, n_events, salted=False, write_mode="cow")["seconds"], 3
     )
 
     # representative analytical queries from the driver contract at sf_dir
@@ -145,6 +167,7 @@ def main() -> None:
         "sf": sf,
         "n_events": n_events,
         "events_per_sec": round(events_per_sec, 1),
+        "lookup_p50_ms": lookup_p50_ms,
         "total_sec": total,
         "cpus": int(cpus),
         # exact knob settings per mode, so future A/Bs are attributable
