@@ -1207,6 +1207,107 @@ class LakeTable:
         self._commit(manifest)
         return {"version": new_version, "buckets": len(ids)}
 
+    def rebucket(self, new_n_buckets: int, *, purge_tombstones: bool = True) -> dict:
+        """Bucket-count evolution — the Iceberg partition-spec-evolution
+        analog for the hash-bucket layout. When a table outgrows its bucket
+        count (bucket files too large, merge/lookup parallelism capped), the
+        whole state is rewritten under `new_n_buckets` as one commit; old
+        versions stay readable under their OWN bucket count via time travel
+        (`bucket_of`/`lookup` always use the manifest they read from).
+
+        Scale shape: ONE payload pass — scan base+deltas → hash shuffle on
+        the NEW bucket → per-bucket key sort → lag-dedup (same single-
+        Exchange trick as compaction: a key's rows co-locate in its new
+        bucket, so bucket-locality implies key-locality) → key-sorted
+        parquet. No second shuffle, no driver-side data. Tombstones are
+        purged by default: after a full rewrite there is no older base row
+        left for a tombstone to beat (`purge_tombstones=False` keeps them,
+        e.g. when a downstream changelog consumer still needs the flags —
+        but note `changes()` reads per-commit delta files, not the base).
+        Unlike Iceberg's lazy spec evolution (new spec for new files only,
+        readers merge specs), this is an eager rewrite: one heavy commit
+        buys back single-spec reads and pruning — the right trade at a few
+        large reshape events per table lifetime."""
+        self._assert_writable()
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        from pyspark.sql import Window
+
+        all_ids = sorted(
+            set(self.manifest["buckets"]) | set(self.manifest["deltas"]), key=int
+        )
+        df = self._read_files(
+            self._files_of("buckets", all_ids) + self._files_of("deltas", all_ids)
+        ).withColumn(
+            "_bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(new_n_buckets)
+            ).cast("int"),
+        )
+        w = Window.partitionBy("_bucket").orderBy(
+            F.col("repo"),
+            F.col("path"),
+            F.col("commit_seq").desc(),
+            F.col("offset").desc(),
+        )
+        out = (
+            df.repartition(
+                max(1, min(new_n_buckets, self._writer_count(new_n_buckets))),
+                "_bucket",
+            )
+            .withColumn("_prev_repo", F.lag("repo").over(w))
+            .withColumn("_prev_path", F.lag("path").over(w))
+            .filter(
+                ~(
+                    F.col("_prev_repo").eqNullSafe(F.col("repo"))
+                    & F.col("_prev_path").eqNullSafe(F.col("path"))
+                )
+            )
+            .drop("_prev_repo", "_prev_path")
+        )
+        if purge_tombstones:
+            out = out.filter(~F.col("is_deleted"))
+        new_version = self.version + 1
+        rel_dir = os.path.join("data", f"v{new_version:08d}")
+        out_dir = os.path.join(self.path, rel_dir)
+        self.spark.sparkContext.setJobDescription(
+            f"rebucket: {self.n_buckets} → {new_n_buckets} buckets (v{new_version})"
+        )
+        try:
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
+        new_buckets: dict = {}
+        new_by_bucket: dict[str, list[str]] = {}
+        for b in range(new_n_buckets):
+            files = self._ls_bucket(out_dir, rel_dir, b)
+            if files:
+                new_buckets[str(b)] = files
+                new_by_bucket[str(b)] = files
+        collected = self._collect_key_stats(
+            [f for fs in new_by_bucket.values() for f in fs]
+        )
+        new_stats = {
+            b: {f: collected[f] for f in files if f in collected}
+            for b, files in new_by_bucket.items()
+            if any(f in collected for f in files)
+        }
+        manifest = dict(self.manifest)
+        manifest["version"] = new_version
+        manifest["commit_kind"] = "rebucket"
+        manifest["n_buckets"] = new_n_buckets
+        manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
+        manifest["deltas"] = {}
+        manifest["file_stats"] = self._externalize(
+            "file_stats", new_stats, new_version
+        )
+        self._commit(manifest)
+        return {
+            "version": new_version,
+            "n_buckets": new_n_buckets,
+            "files_written": sum(len(v) for v in new_by_bucket.values()),
+        }
+
     def expire_snapshots(
         self,
         *,
