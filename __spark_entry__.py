@@ -1112,6 +1112,83 @@ WHERE rn = 1 AND op <> 'delete' AND ({keys})
 )
 
 
+def _cdc_rebucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution under the correctness gate: apply the full log
+    to a 16-bucket MOR table, `rebucket` to 8, and return the snapshot — the
+    final state must be byte-identical to the straight LWW oracle
+    (plans/lake.py::LakeTable.rebucket: one fused resolve+reshuffle commit)."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_rebucket_"), n_buckets=16,
+        write_mode="mor",
+    )
+    table.merge(transform_events(log), source_id="entry", batch_id=0)
+    table.rebucket(8)
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("commit_seq").alias("commit_seq"),
+    )
+
+
+def _cdc_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback under the correctness gate: apply two batches (commit_seq
+    % 3 ∈ {0, 1} then % 3 = 2), roll back the second commit, and return the
+    snapshot — it must equal the LWW final state of the FIRST batch alone
+    (plans/lake.py::LakeTable.rollback: restore as a forward commit)."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_rollback_"), n_buckets=16,
+        write_mode="mor",
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") % 3 != 2)),
+        source_id="entry", batch_id=0,
+    )
+    v_first = table.version
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") % 3 == 2)),
+        source_id="entry", batch_id=1,
+    )
+    table.rollback(v_first)
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("commit_seq").alias("commit_seq"),
+    )
+
+
+_CDC_ROLLBACK_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+  WHERE CAST(event_id AS BIGINT) % 3 <> 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log
+)
+SELECT repo, path, commit, lang,
+       sha256(content_raw || chr(10)) AS content_sha256,
+       commit_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
@@ -1132,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
         "cdc_point_lookup": _cdc_point_lookup,
+        "cdc_rebucket_state": _cdc_rebucket_state,
+        "cdc_rollback_state": _cdc_rollback_state,
     }
     for name, (sql, tables) in _SPARK_SQL.items():
         out[name] = _q(sql, tables)
@@ -1158,6 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
         "cdc_point_lookup": _CDC_POINT_LOOKUP_ORACLE,
+        "cdc_rebucket_state": _CDC_APPLY_ORACLE,
+        "cdc_rollback_state": _CDC_ROLLBACK_ORACLE,
     }
     out.update(_DUCK_SQL)
     return out
