@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +97,13 @@ DEFAULT_USER_SCHEMA = [
 
 def _ddl(fields: list[tuple[str, str]]) -> str:
     return ", ".join(f"`{n}` {t}" for n, t in fields)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first. The losing commit's data
+    files are orphans (never referenced by any manifest — swept by
+    `expire_snapshots`); `refresh()` and retry to re-merge against the
+    winner's state (batch-id fencing keeps the retry exactly-once)."""
 
 
 def _is_ref(e) -> bool:
@@ -190,12 +198,27 @@ class LakeTable:
         return cls(spark, path)
 
     @staticmethod
-    def _write_manifest(path: str, manifest: dict) -> None:
+    def _write_manifest(path: str, manifest: dict, *, exclusive: bool = False) -> None:
         mpath = os.path.join(path, "_manifests", f"v{manifest['version']:08d}.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
+        if not exclusive:
+            os.replace(tmp, mpath)
+            return
+        # Optimistic concurrency (Iceberg catalog-CAS analog): hard-link is
+        # atomic fail-if-exists, so of two racing writers exactly one commits
+        # version N; the loser raises and must refresh+retry against the
+        # winner's manifest. Single-writer deployments never hit this.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {manifest['version']} was committed concurrently "
+                f"at {path}; refresh() and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
 
     @staticmethod
     def _flip_latest(path: str, version: int) -> None:
@@ -817,7 +840,7 @@ class LakeTable:
             from pyspark.sql import Observation
 
             new_version = self.version + 1
-            rel_dir = os.path.join("data", f"v{new_version:08d}")
+            rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
             out_dir = os.path.join(self.path, rel_dir)
             sc.setJobDescription(f"merge[{source_id}/{batch_id}]: MOR fused dedup+delta write")
             obs = Observation()
@@ -1014,7 +1037,7 @@ class LakeTable:
             )
 
             new_version = self.version + 1
-            rel_dir = os.path.join("data", f"v{new_version:08d}")
+            rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
             out_dir = os.path.join(self.path, rel_dir)
             # One write job: kept keeps the scan's own partitioning (no
             # exchange); win_out gets one small shuffle to align buckets;
@@ -1096,7 +1119,7 @@ class LakeTable:
 
     def _commit(self, manifest: dict) -> None:
         manifest["committed_at"] = self._clock()
-        self._write_manifest(self.path, manifest)
+        self._write_manifest(self.path, manifest, exclusive=True)
         self._flip_latest(self.path, manifest["version"])
         self.manifest = manifest
 
@@ -1167,7 +1190,7 @@ class LakeTable:
         ids = sorted({int(b) for b in bucket_ids})
         df = self._bucket_local_resolve(ids, purge_tombstones=purge_tombstones)
         new_version = self.version + 1
-        rel_dir = os.path.join("data", f"v{new_version:08d}")
+        rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         self.spark.sparkContext.setJobDescription(
             f"compact: {len(ids)} buckets → v{new_version}"
@@ -1268,7 +1291,7 @@ class LakeTable:
         if purge_tombstones:
             out = out.filter(~F.col("is_deleted"))
         new_version = self.version + 1
-        rel_dir = os.path.join("data", f"v{new_version:08d}")
+        rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         self.spark.sparkContext.setJobDescription(
             f"rebucket: {self.n_buckets} → {new_n_buckets} buckets (v{new_version})"

@@ -101,7 +101,7 @@ def test_changes_plan_reads_only_delta_files(seq_table):
     """Scale shape: the changelog scan lists exactly the requested commits'
     delta files — never base buckets, never other versions."""
     files = seq_table.changes(1, 2).inputFiles()
-    assert files and all("/data/v00000002/" in f for f in files)
+    assert files and all("/data/v00000002_" in f for f in files)
 
 
 def test_rollback_restores_state_as_forward_commit(seq_table):
