@@ -560,12 +560,15 @@ class LakeTable:
                     "changelog requires a merge-on-read table (COW rewrites "
                     "do not isolate per-commit change rows)"
                 )
-            prefix = os.path.join("data", f"v{v:08d}") + os.sep
+            # Files written BY commit v live under data/v{v:08d}_<attempt>/
+            # (per-attempt dirs since the optimistic-concurrency change; a
+            # bare data/v{v:08d}/ is the pre-attempt layout, still readable).
+            base = os.path.join("data", f"v{v:08d}")
             files = [
                 os.path.join(self.path, f)
                 for b in m["deltas"]
                 for f in self._entry_files("deltas", b, manifest=m)
-                if f.startswith(prefix)
+                if f.startswith(base + os.sep) or f.startswith(base + "_")
             ]
             if not files:
                 continue
