@@ -28,6 +28,13 @@ def main(argv=None) -> int:
     w.add_argument("--max-files-per-trigger", type=int, default=1)
     w.add_argument("--salted", action="store_true", help="two-phase salted LWW for skewed batches")
     w.add_argument("--metrics-log", default=None)
+    w.add_argument(
+        "--tech-addr",
+        default=None,
+        metavar="HOST:PORT",
+        help="serve /metrics, /liveness, /readiness and /sse/event while "
+        "watching (the reference's technical HTTP server, server.go:83-105)",
+    )
 
     r = sub.add_parser("replay", help="snapshot scan -> synthetic inserts -> apply (reference replay mode)")
     r.add_argument("--snapshot", required=True, help="parquet dir of the base table")
@@ -49,20 +56,54 @@ def main(argv=None) -> int:
     if a.mode == "watch":
         from kafka_mongo_watcher_spark.streaming.run import run_replay_stream
 
+        tech = None
+        recorder = None
+        if a.tech_addr:
+            from kafka_mongo_watcher_spark.observability import (
+                Debugger,
+                KafkaRecorder,
+                TechServer,
+            )
+
+            host, _, port = a.tech_addr.rpartition(":")
+            recorder = KafkaRecorder()
+            tech = TechServer(
+                recorder=recorder,
+                debugger=Debugger(context={"table": a.table, "log_dir": a.log_dir}),
+                addr=host or "127.0.0.1",
+                port=int(port),
+            ).start()
+            print(json.dumps({"tech_server": tech.url}), flush=True)
         if not os.path.exists(os.path.join(a.table, "_latest")):
             LakeTable.create(spark, a.table)
-        stats = run_replay_stream(
-            spark,
-            log_dir=a.log_dir,
-            table_path=a.table,
-            checkpoint_dir=a.checkpoint,
-            source_id=a.source_id,
-            max_files_per_trigger=a.max_files_per_trigger,
-            salted=a.salted,
-            # K5 parity (main.go:41-51): SIGINT/SIGTERM stop the stream and
-            # exit 0 with a resumable checkpoint
-            handle_signals=True,
-        )
+
+        class _LiveStats(list):
+            # batch-granular counters, incremented as each epoch commits so
+            # a live /metrics scrape sees progress (the produce/ack analog
+            # of client_metric.go:23-47)
+            def append(self, s):
+                super().append(s)
+                if recorder is not None and not s.get("skipped"):
+                    recorder.inc_produce(a.source_id, s.get("merged_rows", 0))
+                    recorder.inc_success(a.source_id, s.get("merged_rows", 0))
+
+        try:
+            stats = run_replay_stream(
+                spark,
+                log_dir=a.log_dir,
+                table_path=a.table,
+                checkpoint_dir=a.checkpoint,
+                source_id=a.source_id,
+                max_files_per_trigger=a.max_files_per_trigger,
+                salted=a.salted,
+                metrics_sink=_LiveStats(),
+                # K5 parity (main.go:41-51): SIGINT/SIGTERM stop the stream
+                # and exit 0 with a resumable checkpoint
+                handle_signals=True,
+            )
+        finally:
+            if tech is not None:
+                tech.close()
         for s in stats:
             if mlog:
                 mlog.emit(s)

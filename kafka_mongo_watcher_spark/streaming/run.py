@@ -156,6 +156,10 @@ def run_message_stream(
     n_topic_partitions: int = 8,
     max_files_per_trigger: int = 1,
     app_name: str = "kmw-spark",
+    recorder=None,
+    debugger=None,
+    debug_sample: int = 5,
+    tracer=None,
 ) -> list:
     """Streaming message EMISSION — the reference's actual product surface
     (transformer → kafka producer, /root/reference/internal/app/watcher.go:
@@ -178,9 +182,24 @@ def run_message_stream(
       file stand-in to exactly-once).
     On a real cluster swap the body for
     `msgs.selectExpr(...).write.format("kafka")` and drop the fencing.
-    Returns per-epoch emission stats."""
-    import os
+    Returns per-epoch emission stats.
 
+    Observability wiring (all optional, all batch-granular — never per-row
+    driver callbacks):
+    - `recorder` (observability.KafkaRecorder): produce/success counters
+      incremented once per epoch with the Observation row count riding the
+      write job (client_metric.go:23-47 counts the same things per message;
+      at 10^10 events/day only the aggregate shape survives);
+    - `debugger` (observability.Debugger): first `debug_sample` messages of
+      each epoch fanned out to SSE clients (the reference debug tap is also
+      a human-bounded sample — a 1-buffered channel);
+    - `tracer` (observability.get_tracer_provider(...)): one span per epoch
+      emission (otelconfluent wraps each produce; per-epoch is the Spark
+      unit of produce)."""
+    import os
+    from contextlib import nullcontext
+
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from kafka_mongo_watcher_spark.functions.message import to_message
@@ -201,13 +220,36 @@ def run_message_stream(
             "t_partition",
             F.pmod(F.xxhash64(F.col("key")), F.lit(n_topic_partitions)).cast("int"),
         )
-        (
-            msgs.repartition(n_topic_partitions, "t_partition")
-            .sortWithinPartitions("t_partition", "commit_seq", "offset")
-            .write.mode("overwrite")
-            .partitionBy("t_partition")
-            .parquet(epoch_dir)
+        obs = Observation() if recorder is not None else None
+        if obs is not None:
+            msgs = msgs.observe(obs, F.count(F.lit(1)).alias("n"))
+        span = (
+            tracer.start_span(
+                "kmw.emit_epoch", {"epoch": epoch_id, "topic": topic}
+            )
+            if tracer is not None and getattr(tracer, "enabled", False)
+            else nullcontext()
         )
+        with span:
+            try:
+                (
+                    msgs.repartition(n_topic_partitions, "t_partition")
+                    .sortWithinPartitions("t_partition", "commit_seq", "offset")
+                    .write.mode("overwrite")
+                    .partitionBy("t_partition")
+                    .parquet(epoch_dir)
+                )
+            except Exception:
+                if recorder is not None:
+                    recorder.inc_error(topic)  # one failed produce attempt
+                raise
+        if recorder is not None:
+            n = int(obs.get["n"])
+            recorder.inc_produce(topic, n)
+            recorder.inc_success(topic, n)  # parquet commit == broker ack
+        if debugger is not None and debugger.enabled():
+            for row in msgs.limit(debug_sample).collect():
+                debugger.add({"key": row["key"], "value": row["value"]})
         stats.append({"epoch": epoch_id, "skipped": False})
 
     events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
