@@ -831,6 +831,53 @@ _ANN_LSH_ORACLE = (
 )
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN through an IVF index (trained coarse quantizer →
+    zero-shuffle list assignment → broadcast equi-join probe → exact
+    re-rank), checked the same way as ann_lsh_topk: per-query recall vs the
+    brute-force top-k computed inside the query, asserted TRUE by the
+    oracle. The test table is isotropic (labels carry no geometry, so
+    recall ≈ probe fraction for ANY partitioning of random vectors), hence
+    the high probe fraction here; the clustered-data payoff — ≥0.9 recall
+    at a 2/16 probe fraction — is pinned by tests/test_ivf.py."""
+    from kafka_mongo_watcher_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    k = 5
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    cands = emb.filter(F.col("vec_id") >= 3)
+    cent = train_ivf_centroids(cands, n_list=8, sample_size=4096, iters=10)
+    ivf = ivf_topk(
+        queries_df, cands, k=k, n_list=8, n_probe=6, centroids=cent
+    ).select("query_id", "cand_id")
+    brute = brute_force_topk(queries_df, cands, k=k).select("query_id", "cand_id")
+    hits = (
+        ivf.join(brute, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(int(0.8 * k))).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_IVF_ORACLE = (
+    "SELECT vec_id AS query_id, 5 AS k, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id < 3"
+)
+
+
 def _cdc_message_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed message emission (VERDICT r1 §missing 1): the reference's real
     output — (key = document id, value = canonical JSON envelope with fixed
@@ -1197,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_meta": _media_decode_meta,
         "media_decode_real": _media_decode_real,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
@@ -1225,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
         "media_decode_real": _MEDIA_DECODE_REAL_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
+        "ann_ivf_topk": _ANN_IVF_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,

@@ -144,3 +144,155 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return sims.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    candidates: DataFrame,
+    *,
+    n_list: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 1337,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means on a bounded,
+    deterministic sample, driver-side.
+
+    Train-on-sample is the standard IVF recipe (FAISS trains its coarse
+    quantizer on O(n_list x 10^2) points regardless of corpus size): the
+    centroid table is tiny (n_list x dim doubles) and what must scale is
+    ASSIGNMENT and SEARCH, which stay fully distributed (`ivf_assign` /
+    `ivf_topk`). The sample is the top `sample_size` rows by xxhash64(id) —
+    a distributed TakeOrderedAndProject (per-partition top-N, then a driver
+    merge of N-row heads), deterministic across cluster sizes, never a full
+    sort. Spherical variant (centroids L2-normalized each round) because the
+    search metric is cosine."""
+    import numpy as np
+
+    rows = (
+        candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(x) < n_list:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {n_list} lists")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_list, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(n_list):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            # empty list: keep the old centroid (deterministic, no resample)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return [[float(c) for c in row] for row in cent]
+
+
+def _list_scores(vec_col, centroids: list[list[float]]):
+    """array<double> of dot(vec, centroid_j) for all j — one literal array
+    node per centroid (n_list nodes total, NOT n_list x dim; the r1 lesson
+    about per-component expression trees, similarity.py:67)."""
+    cents = F.array(*[F.lit(c) for c in centroids])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection: scores via a
+    higher-order `transform` over the literal centroid array, argmax via
+    array_position(max). JVM-side, zero shuffle, zero joins — the plan a
+    100-TB assignment pass must have (centroids are normalized, so dot
+    order == cosine order; ties resolve to the lowest list id)."""
+    scores = _list_scores(F.col(vec_col), centroids)
+    return df.withColumn(
+        out_col,
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    train_sample_size: int = 4096,
+    train_iters: int = 10,
+    seed: int = 1337,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k through an IVF index: each query probes its
+    `n_probe` nearest lists; exact cosine re-ranks only the pooled members.
+
+    Scale shape: candidates get `list_id` as a projection (no shuffle), the
+    probe join is a broadcast hash equi-join on list_id (the query side is
+    tiny by construction), and the re-rank window partitions by query. The
+    expected scan fraction is n_probe/n_list of the corpus — the IVF
+    contract; pass precomputed `centroids` to amortize training across
+    queries (and to share one quantizer between assignment-at-ingest and
+    search-at-query, which is how an IVF index is actually operated)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates,
+            n_list=n_list,
+            sample_size=train_sample_size,
+            iters=train_iters,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    scores = _list_scores(F.col(vec_col), centroids)
+    # per-query probe set: top-n_probe lists by centroid similarity — a
+    # projection + posexplode + bounded sort on the (small) query side only
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.posexplode(scores).alias("list_id", "_score"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_score").desc(), F.col("list_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("list_id").cast("int").alias("list_id"))
+    )
+    cands = ivf_assign(candidates, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv"), "list_id"
+    )
+    pooled = F.broadcast(probes).join(cands, "list_id").select(
+        "query_id",
+        "cand_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return pooled.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
