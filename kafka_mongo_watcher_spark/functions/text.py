@@ -79,3 +79,43 @@ def fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     sha256 — the batch-dedup key."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select("*", F.sha2(norm, 256).alias("fingerprint"))
+
+
+def repetition_signals(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition counters (Rae et al. 2021 §A1.1: repetitious
+    documents are low-quality training data): word/line duplication and the
+    most-frequent-word-bigram count. Emitted as INTEGER counters (numerators
+    and denominators) so downstream thresholds — e.g. Gopher's
+    dup_line_frac > 0.30, top-2-gram fraction > 0.20 — divide them however
+    they like and cross-engine comparisons stay exact.
+
+    Scale shape: pure per-row projection, shuffle-free, whole-stage codegen.
+    The top-bigram scan is O(unique_bigrams x bigrams) per document — fine
+    for web-scale documents (10^3..10^4 words); for pathological multi-MB
+    single documents, explode+groupBy(doc_id, bigram) trades that for a
+    shuffle. No UDFs."""
+    w = F.split(F.col(text_col), " ")
+    lines = F.split(F.col(text_col), "\n")
+    pair_len = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, pair_len),
+        F.slice(w, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bg = F.when(F.size(bg) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        )
+    )
+    return df.select(
+        "*",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_unique_words"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_unique_lines"),
+        F.size(bg).alias("n_bigrams"),
+        top_bg.alias("top_bigram_count"),
+    )

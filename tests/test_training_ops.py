@@ -427,3 +427,34 @@ def test_png_jpeg_gif_decode(spark):
             out[3]["body_mean"]) == (47, 33, 3, "jpeg", None)
     assert (out[4]["width"], out[4]["height"], out[4]["codec"]) == (320, 200, "gif")
     assert out[5]["codec"] not in ("png",)  # bad CRC falls back to the stub
+
+
+# ---- repetition signals (Gopher quality filters) ---------------------------
+
+def test_repetition_signals_golden_values(spark):
+    from kafka_mongo_watcher_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # bigrams: ab ba ab ba -> top 2
+            (2, "x"),                   # single word: no bigrams
+            (3, "l1\nl2\nl1"),          # duplicate line
+            (4, "w w w w"),             # all same: top bigram 3, unique 1
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 5 and got[1]["n_unique_words"] == 2
+    assert got[1]["n_bigrams"] == 4 and got[1]["top_bigram_count"] == 2
+    assert got[2]["n_words"] == 1 and got[2]["n_bigrams"] == 0
+    assert got[2]["top_bigram_count"] == 0
+    assert got[3]["n_lines"] == 3 and got[3]["n_unique_lines"] == 2
+    assert got[4]["n_unique_words"] == 1 and got[4]["top_bigram_count"] == 3
+
+
+def test_repetition_signals_shuffle_free(spark, docs):
+    from kafka_mongo_watcher_spark.functions.text import repetition_signals
+
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "CartesianProduct"):
+        assert op not in plan
