@@ -62,16 +62,18 @@ def bench_cdc_replay(
         )
         step = n_events // n_batches
         t0 = time.time()
+        strategies = []
         for b in range(n_batches):
             lo, hi = b * step, (b + 1) * step if b < n_batches - 1 else n_events
             chunk = log.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
-            table.merge(
+            s = table.merge(
                 transform_events(chunk, fingerprint=False),
                 source_id="bench", batch_id=b, salted=salted,
             )
+            strategies.append(s.get("dedup_strategy"))
         if write_mode == "mor":
             table.compact()
-        out = {"seconds": time.time() - t0}
+        out = {"seconds": time.time() - t0, "dedup_strategies": sorted(set(strategies))}
         if probe_lookups:
             # point-read latency through the pruned path (bucket via
             # driver-side XXH64, then per-file key bounds): keys sampled
@@ -137,13 +139,14 @@ def main() -> None:
     queries["cdc_replay"] = round(t, 3)
     lookup_p50_ms = r["lookup_p50_ms"]
     events_per_sec = n_events / t
+    strategies = {"cdc_replay": r["dedup_strategies"]}
 
-    queries["cdc_replay_salted"] = round(
-        bench_cdc_replay(spark, n_events, salted=True)["seconds"], 3
-    )
-    queries["cdc_replay_cow"] = round(
-        bench_cdc_replay(spark, n_events, salted=False, write_mode="cow")["seconds"], 3
-    )
+    r2 = bench_cdc_replay(spark, n_events, salted=True)
+    queries["cdc_replay_salted"] = round(r2["seconds"], 3)
+    strategies["cdc_replay_salted"] = r2["dedup_strategies"]
+    r3 = bench_cdc_replay(spark, n_events, salted=False, write_mode="cow")
+    queries["cdc_replay_cow"] = round(r3["seconds"], 3)
+    strategies["cdc_replay_cow"] = r3["dedup_strategies"]
 
     # representative analytical queries from the driver contract at sf_dir
     import __spark_entry__ as entrymod
@@ -177,7 +180,10 @@ def main() -> None:
             "n_batches": 4,
             "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64, "cdc_replay_cow": 64},
             "write_mode": {"cdc_replay": "mor", "cdc_replay_salted": "mor", "cdc_replay_cow": "cow"},
-            "dedup_strategy": {"cdc_replay": "auto(semijoin)", "cdc_replay_salted": "salted", "cdc_replay_cow": "auto(semijoin)"},
+            # ACTUAL per-mode routing reported by merge stats (the auto
+            # policy is winner-ratio-aware since r3; at this batch shape —
+            # ~0.7 winners/event — auto routes to salted)
+            "dedup_strategy": strategies,
             "mor_compact_included": True,
             "shuffle_partitions": max(int(cpus) * 2, 16),
             "max_partition_bytes": 33554432,

@@ -763,14 +763,41 @@ class LakeTable:
         # -load batch must never force an unbounded broadcast).
         est_winner_bytes = n_keys_ub * avg_bcast_row
         semijoin_fits = est_winner_bytes <= semijoin_max_bytes
+        # Semijoin is only PROFITABLE when dedup actually removes rows: its
+        # win is the loser payload never shuffling, its cost is building +
+        # broadcasting the winner set (driver collect, per-executor fetch,
+        # per-task hash relation — all ~ n_keys, and the MOR write shuffles
+        # the winner payload by bucket anyway). Interleaved A/B on this host
+        # (2M events, 583k keys, 4x8 executors, MOR incl. compaction; r3):
+        #   winners/events 0.29 → semijoin ≈ salted (18.5 vs 17.7 s)
+        #   winners/events 0.47 → salted 30% faster (29.8 vs 20.8 s)
+        #   winners/events 0.70 → salted 37% faster (36.6 vs 23.0 s)
+        #   winners/events 0.90 → salted 2x faster  (72  vs 36  s)
+        # and the r2 A/B at ratio ~0.15 had semijoin 1.5x ahead of window.
+        # Crossover ~0.3; above it the two-phase salted max_by (map-side
+        # combine, no broadcast) wins and keeps winning as batches shrink.
+        # The ratio gate only engages above a minimum batch size: below it
+        # every strategy is fixed-cost-dominated (ms either way) and
+        # semijoin's single-branch/dup-branch machinery stays the exercised
+        # default.
+        winner_ratio = n_keys_ub / max(n_batch_events, 1)
+        semijoin_profitable = winner_ratio <= float(
+            _conf(self.spark, "kmw.dedup.semijoinMaxWinnerRatio", "0.3")
+        ) or n_batch_events < int(
+            _conf(self.spark, "kmw.dedup.ratioMinEvents", "50000")
+        )
         if strategy == "auto":
             if salted:
                 strategy = "salted"
+            elif not semijoin_profitable:
+                strategy = "salted"
             elif semijoin_fits:
-                # micro-batch: winner tuples comfortably broadcastable; the
-                # payload never shuffles. Beyond this, the broadcast itself
-                # (driver collect + per-executor fetch) anti-scales with
-                # cluster size — the shuffling window path wins.
+                # micro-batch with real duplication: winner tuples
+                # comfortably broadcastable and the saved loser shuffle
+                # outweighs the broadcast. Beyond the byte budget, the
+                # broadcast (driver collect + per-executor fetch)
+                # anti-scales with cluster size — the shuffling window
+                # path wins.
                 strategy = "semijoin"
             else:
                 strategy = "window"

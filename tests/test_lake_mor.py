@@ -303,3 +303,42 @@ def test_compaction_plan_is_single_shuffle(spark, tmp_path):
     t.compact()
     assert not t.manifest["deltas"]
     assert _state(t) == before
+
+
+def test_auto_strategy_routes_by_winner_ratio(spark, tmp_path):
+    """The auto dedup policy is profitability-aware (r3 A/B, lake.py): a
+    large batch whose winner set is most of the batch (dedup removes little
+    → the semijoin broadcast costs more than the loser shuffle it saves)
+    routes to salted; a large batch with heavy per-key duplication stays on
+    semijoin; below the ratioMinEvents floor tiny batches keep the semijoin
+    default regardless of ratio. Results are strategy-independent (the
+    equivalence suite) — this pins only the routing."""
+    from kafka_mongo_watcher_spark.datagen import generate_events
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=8, write_mode="mor")
+    spark.conf.set("kmw.dedup.ratioMinEvents", "1000")
+    try:
+        # ~3.4 events/key in the generator -> ratio ~0.5-0.7 at this size
+        high_card = transform_events(generate_events(spark, 4000), fingerprint=False)
+        s1 = t.merge(high_card, source_id="s", batch_id=0)
+        assert s1["dedup_strategy"] == "salted"
+        # same events collapsed onto 40 keys -> ratio ~0.01
+        heavy_dup = (
+            transform_events(generate_events(spark, 4000), fingerprint=False)
+            .withColumn("repo", F.concat(F.lit("r"), (F.col("offset") % 5).cast("string")))
+            .withColumn("path", F.concat(F.lit("p"), (F.col("offset") % 8).cast("string")))
+            # keep the keyed-delivery contract the ratio estimator documents:
+            # partition follows the (rewritten) key
+            .withColumn("partition_id", F.pmod(F.xxhash64("repo", "path"), F.lit(8)).cast("int"))
+        )
+        s2 = t.merge(heavy_dup, source_id="s", batch_id=1)
+        assert s2["dedup_strategy"] == "semijoin"
+    finally:
+        spark.conf.unset("kmw.dedup.ratioMinEvents")
+    # tiny batch below the floor: semijoin even with no duplication
+    s3 = t.merge(
+        _batch(spark, [_row("insert", "r", f"q{i}", 10 + i) for i in range(5)]),
+        source_id="s", batch_id=2,
+    )
+    assert s3["dedup_strategy"] == "semijoin"
