@@ -878,6 +878,32 @@ _ANN_IVF_ORACLE = (
 )
 
 
+def _cdc_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$bucket` through the pipeline compiler: boundary-range grouping of
+    event values with a default bucket and accumulator outputs — one CASE
+    projection + map-side-combinable hash aggregate (operators/pipeline.py::
+    _stage_bucket)."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    _register(spark, sf_dir, "events")
+    return apply_pipeline(
+        spark.table("events"),
+        '[{"$bucket": {"groupBy": "$value", "boundaries": [0, 10, 100, 1000],'
+        ' "default": "overflow",'
+        ' "output": {"count": {"$sum": 1}, "max_value": {"$max": "$value"}}}}]',
+    ).select(F.col("_id").alias("bucket"), "count", "max_value")
+
+
+_CDC_PIPELINE_BUCKET_ORACLE = """
+SELECT CASE WHEN value >= 0 AND value < 10 THEN '0'
+            WHEN value >= 10 AND value < 100 THEN '10'
+            WHEN value >= 100 AND value < 1000 THEN '100'
+            ELSE 'overflow' END AS bucket,
+       COUNT(*) AS count, MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters through the real operator
     (functions/text.py::repetition_signals): integer numerators and
@@ -1280,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "text_repetition": _text_repetition,
+        "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
@@ -1310,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "ann_ivf_topk": _ANN_IVF_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
+        "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,

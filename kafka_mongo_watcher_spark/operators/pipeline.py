@@ -338,6 +338,80 @@ def _stage_sort_by_count(df: DataFrame, spec) -> DataFrame:
     )
 
 
+def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo `$bucket`: group values into user-defined boundary ranges.
+
+    `_id` is the lower boundary of the containing half-open range
+    [b_i, b_{i+1}); out-of-range values take `default` when given, else the
+    row raises at execution (Mongo errors the aggregation the same way).
+    One CASE projection + hash aggregate — map-side combinable, no sort.
+    Typed-column divergence from Mongo's dynamic docs: when `default` is a
+    string but boundaries are numeric, every `_id` is emitted as string so
+    the column stays single-typed."""
+    gb = spec.get("groupBy")
+    bounds = spec.get("boundaries")
+    if not isinstance(bounds, list) or len(bounds) < 2:
+        raise ValueError("$bucket requires >=2 boundaries")
+    if bounds != sorted(bounds):
+        raise ValueError("$bucket boundaries must be sorted ascending")
+    v = _compile_value(gb)
+    has_default = "default" in spec
+    stringify = has_default and isinstance(spec["default"], str) and not all(
+        isinstance(b, str) for b in bounds
+    )
+
+    def _id_lit(x):
+        c = F.lit(x)
+        return c.cast("string") if stringify else c
+
+    bid = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        bid = F.when(cond, _id_lit(lo)) if bid is None else bid.when(cond, _id_lit(lo))
+    if has_default:
+        bid = bid.otherwise(_id_lit(spec["default"]))
+    else:
+        bid = bid.otherwise(
+            F.raise_error(
+                F.lit("$bucket: value out of boundaries and no default specified")
+            ).cast("string" if stringify else "double")
+        )
+    output = spec.get("output") or {"count": {"$sum": 1}}
+    aggs = []
+    for name, acc in output.items():
+        (op, val), = acc.items()
+        if op not in _ACCUM:
+            raise ValueError(f"unsupported $bucket accumulator {op!r}")
+        aggs.append(_ACCUM[op](val).alias(name))
+    return df.groupBy(bid.alias("_id")).agg(*aggs)
+
+
+def _stage_facet(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
+    """Mongo `$facet`: run N sub-pipelines over the SAME input, emit ONE
+    document whose fields are each facet's full result as an array.
+
+    Spark shape: each facet compiles to its own plan over `df` (the scan is
+    shared by Spark's plan reuse when facets start from the same source),
+    collapses to a single row via collect_list(struct(...)), and the 1-row
+    facets cross-join into the output document. Facet results must be
+    driver-bounded — Mongo enforces the same via its 16 MB output-document
+    cap, so a pipeline valid there is valid here."""
+    if not spec or not isinstance(spec, dict):
+        raise ValueError("$facet requires a non-empty document of sub-pipelines")
+    out = None
+    for name, sub in spec.items():
+        if not isinstance(sub, list):
+            raise ValueError(f"$facet field {name!r} must be a pipeline array")
+        res = df
+        for fn, s in _compile_stage_list(sub, tables):
+            res = fn(res, s)
+        one = res.agg(
+            F.collect_list(F.struct(*[F.col(c) for c in res.columns])).alias(name)
+        )
+        out = one if out is None else out.crossJoin(one)
+    return out
+
+
 def _stage_sort(df: DataFrame, doc: dict) -> DataFrame:
     cols = []
     for k, d in doc.items():
@@ -364,8 +438,33 @@ _STAGES = {
     "$replaceRoot": _stage_replace_root,
     "$replaceWith": _stage_replace_root,
     "$sortByCount": _stage_sort_by_count,
-    # $lookup is bound to `tables` inside compile_pipeline
+    "$bucket": _stage_bucket,
+    # $lookup and $facet are bound to `tables` inside _compile_stage_list
 }
+
+
+def _compile_stage_list(
+    stages: list, tables: dict | None
+) -> list[tuple[Callable, object]]:
+    """Parsed stage documents → [(stage_fn, spec)] — shared by the top-level
+    pipeline and `$facet` sub-pipelines."""
+    compiled: list[tuple[Callable, object]] = []
+    for i, stage in enumerate(stages):
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
+        (name, spec), = stage.items()
+        if name in ("$lookup", "$facet"):
+            bound = dict(tables or {})
+            fn = _stage_lookup if name == "$lookup" else _stage_facet
+            compiled.append((lambda df, s, _f=fn, _t=bound: _f(df, s, _t), spec))
+            continue
+        if name not in _STAGES:
+            raise ValueError(
+                f"unsupported pipeline stage {name!r} (supported: "
+                f"{sorted(_STAGES) + ['$facet', '$lookup']})"
+            )
+        compiled.append((_STAGES[name], spec))
+    return compiled
 
 
 def compile_pipeline(
@@ -385,21 +484,7 @@ def compile_pipeline(
     stages = json.loads(replace_variables(pipeline_json, now=now))
     if not isinstance(stages, list):
         raise ValueError("pipeline must be a JSON array of stages")
-    compiled: list[tuple[Callable, object]] = []
-    for i, stage in enumerate(stages):
-        if not isinstance(stage, dict) or len(stage) != 1:
-            raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
-        (name, spec), = stage.items()
-        if name == "$lookup":
-            bound = dict(tables or {})
-            compiled.append((lambda df, s, _t=bound: _stage_lookup(df, s, _t), spec))
-            continue
-        if name not in _STAGES:
-            raise ValueError(
-                f"unsupported pipeline stage {name!r} (supported: "
-                f"{sorted(_STAGES) + ['$lookup']})"
-            )
-        compiled.append((_STAGES[name], spec))
+    compiled = _compile_stage_list(stages, tables)
 
     def _apply(df: DataFrame) -> DataFrame:
         for fn, spec in compiled:

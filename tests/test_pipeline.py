@@ -146,7 +146,7 @@ def test_project_unset_limit(docs):
 
 def test_unknown_stage_and_operator_raise(docs):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline('[{"$facet": {}}]')
+        compile_pipeline('[{"$graphLookup": {}}]')
     with pytest.raises(ValueError, match="unsupported .match operator"):
         apply_pipeline(docs, '[{"$match": {"n": {"$mod": [2, 0]}}}]').count()
     with pytest.raises(ValueError, match="single-key"):
@@ -296,3 +296,65 @@ def test_sort_by_count(docs):
     rows = [(r._id, r["count"]) for r in out.collect()]
     assert sorted(rows) == [("r1", 2), ("r2", 2)]
     assert out.columns == ["_id", "count"]
+
+
+# ---- $bucket / $facet ------------------------------------------------------
+
+def test_bucket_boundaries_and_default(docs):
+    out = apply_pipeline(
+        docs,
+        '[{"$bucket": {"groupBy": "$n", "boundaries": [0, 5, 10],'
+        ' "default": "other", "output": {"count": {"$sum": 1}, "max_n": {"$max": "$n"}}}}]',
+    )
+    got = {r["_id"]: (r["count"], r["max_n"]) for r in out.collect()}
+    # n=1 -> [0,5); n=5,9 -> [5,10); n=None -> default
+    assert got == {"0": (1, 1), "5": (2, 9), "other": (1, None)}
+
+
+def test_bucket_numeric_ids_without_default(docs):
+    out = apply_pipeline(
+        docs.filter(F.col("n").isNotNull()),
+        '[{"$bucket": {"groupBy": "$n", "boundaries": [0, 5, 10]}}]',
+    )
+    got = {r["_id"]: r["count"] for r in out.collect()}
+    assert got == {0: 1, 5: 2}
+
+
+def test_bucket_out_of_range_without_default_raises(spark, docs):
+    import pyspark.errors
+
+    out = apply_pipeline(
+        docs,  # n=None falls outside every boundary
+        '[{"$bucket": {"groupBy": "$n", "boundaries": [0, 5, 10]}}]',
+    )
+    with pytest.raises(Exception, match="out of boundaries"):
+        out.collect()
+
+
+def test_bucket_rejects_unsorted_boundaries(docs):
+    with pytest.raises(ValueError, match="sorted"):
+        apply_pipeline(docs, '[{"$bucket": {"groupBy": "$n", "boundaries": [5, 0]}}]')
+
+
+def test_facet_runs_subpipelines_over_same_input(docs):
+    out = apply_pipeline(
+        docs,
+        '[{"$facet": {'
+        '"by_op": [{"$sortByCount": "$op"}],'
+        '"big_n": [{"$match": {"n": {"$gte": 5}}}, {"$project": {"repo": 1, "n": 1}},'
+        '          {"$sort": {"n": -1}}],'
+        '"total": [{"$count": "docs"}]}}]',
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # one output document, Mongo-style
+    row = rows[0]
+    assert {(r["_id"], r["count"]) for r in row["by_op"]} == {
+        ("insert", 2), ("update", 1), ("delete", 1),
+    }
+    assert [(r["repo"], r["n"]) for r in row["big_n"]] == [("r2", 9), ("r1", 5)]
+    assert row["total"][0]["docs"] == 4
+
+
+def test_facet_rejects_non_pipeline_field(docs):
+    with pytest.raises(ValueError, match="pipeline array"):
+        apply_pipeline(docs, '[{"$facet": {"x": {"$match": {}}}}]')
