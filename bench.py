@@ -134,9 +134,17 @@ def main() -> None:
     bench_cdc_replay(spark, n_events, salted=False)
     bench_cdc_replay(spark, n_events, salted=False)
 
-    r = bench_cdc_replay(spark, n_events, salted=False, probe_lookups=21)
-    t = r["seconds"]
-    queries["cdc_replay"] = round(t, 3)
+    # Median of 3 timed trials: identical back-to-back replay cycles on this
+    # VM vary up to 2x (same config, same data — JVM/host aging, not the
+    # engine; measured in the r3 counterbalanced A/B), so a single trial is
+    # noise-dominated. Per-trial values recorded for attribution.
+    trials = []
+    r = None
+    for _ in range(3):
+        r = bench_cdc_replay(spark, n_events, salted=False, probe_lookups=21)
+        trials.append(round(r["seconds"], 3))
+    t = sorted(trials)[1]
+    queries["cdc_replay"] = t
     lookup_p50_ms = r["lookup_p50_ms"]
     events_per_sec = n_events / t
     strategies = {"cdc_replay": r["dedup_strategies"]}
@@ -177,6 +185,8 @@ def main() -> None:
         # (VERDICT r2 §next 10: cow silently shared mor's bucket count)
         "config": {
             "master": master,
+            "cdc_replay_trials": trials,
+            "cdc_replay_estimator": "median of 3",
             "n_batches": 4,
             "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64, "cdc_replay_cow": 64},
             "write_mode": {"cdc_replay": "mor", "cdc_replay_salted": "mor", "cdc_replay_cow": "cow"},
