@@ -904,6 +904,108 @@ FROM events GROUP BY 1
 """
 
 
+def _cdc_dlq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine through the real operator (operators/
+    envelope.py::quarantine_malformed — transformer.go:19-23 skip semantics
+    as an auditable table). The fixture deterministically malforms the
+    derived log (repo→NULL on commit_seq%97==0, path→'' on commit_seq%101==0,
+    mirrored in the oracle) and returns the reject side with its reasons;
+    valid+rejects partitions the batch exactly."""
+    from kafka_mongo_watcher_spark.operators.envelope import quarantine_malformed
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL).select(
+        "partition_id",
+        "commit_seq",
+        F.when(F.col("commit_seq") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("repo"))
+        .alias("repo"),
+        F.when(F.col("commit_seq") % 101 == 0, F.lit(""))
+        .otherwise(F.col("path"))
+        .alias("path"),
+    )
+    _, rejects = quarantine_malformed(log)
+    return rejects.select("partition_id", "commit_seq", "reject_reason")
+
+
+_CDC_DLQ_ORACLE = """
+WITH log AS (
+  SELECT CAST(user_id % 8 AS INT) AS partition_id,
+         CAST(event_id AS BIGINT) AS commit_seq,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE 'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR)
+         END AS repo,
+         CASE WHEN event_id % 101 = 0 THEN ''
+              ELSE 'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py'
+         END AS path
+  FROM events
+)
+SELECT partition_id, commit_seq,
+       array_to_string(list_filter([
+         CASE WHEN repo IS NULL THEN 'null_repo' END,
+         CASE WHEN repo = '' THEN 'empty_repo' END,
+         CASE WHEN path IS NULL THEN 'null_path' END,
+         CASE WHEN path = '' THEN 'empty_path' END
+       ], x -> x IS NOT NULL), ',') AS reject_reason
+FROM log
+WHERE repo IS NULL OR repo = '' OR path IS NULL OR path = ''
+"""
+
+
+def _text_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule corpus gate through the real operator
+    (functions/text.py::corpus_filter): keep/drop decision + auditable
+    reason list per document. Every threshold is integer algebra
+    (numerator*100 vs pct*denominator), so the DuckDB twin reproduces the
+    decision bit-exactly at the boundary — no float rounding in the gate."""
+    from kafka_mongo_watcher_spark.functions.text import corpus_filter
+
+    _register(spark, sf_dir, "documents")
+    return corpus_filter(spark.table("documents")).select(
+        "doc_id", "keep", "drop_reasons"
+    )
+
+
+_TEXT_CORPUS_FILTER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         string_split(text, chr(10)) AS l
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    length(text) AS n_chars,
+    len(l) AS n_lines,
+    len(l) - len(list_distinct(l)) AS dup_lines,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS b,
+    len(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) AS stop_hits,
+    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+  FROM base
+), scored AS (
+  SELECT doc_id, n_words, n_chars, n_lines, dup_lines, stop_hits, n_punct,
+    len(b) AS n_bigrams,
+    CASE WHEN len(b) = 0 THEN 0
+         ELSE list_aggregate(list_transform(list_distinct(b),
+                             x -> len(list_filter(b, y -> y = x))), 'max')
+    END AS top_bg
+  FROM sig
+), reasons AS (
+  SELECT doc_id, list_filter([
+    CASE WHEN n_words < 5 THEN 'too_short' END,
+    CASE WHEN n_words > 100000 THEN 'too_long' END,
+    CASE WHEN dup_lines * 100 > 30 * n_lines THEN 'dup_lines' END,
+    CASE WHEN top_bg * 100 > 20 * n_bigrams THEN 'rep_bigrams' END,
+    CASE WHEN stop_hits * 100 < 5 * n_words THEN 'low_stopword' END,
+    CASE WHEN n_punct * 100 > 25 * n_chars THEN 'high_punct' END
+  ], x -> x IS NOT NULL) AS r
+  FROM scored
+)
+SELECT doc_id, len(r) = 0 AS keep,
+       COALESCE(array_to_string(r, ','), '') AS drop_reasons
+FROM reasons
+"""
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters through the real operator
     (functions/text.py::repetition_signals): integer numerators and
@@ -1306,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "text_repetition": _text_repetition,
+        "text_corpus_filter": _text_corpus_filter,
+        "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
@@ -1337,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "ann_ivf_topk": _ANN_IVF_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
+        "text_corpus_filter": _TEXT_CORPUS_FILTER_ORACLE,
+        "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),

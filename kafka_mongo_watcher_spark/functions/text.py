@@ -119,3 +119,67 @@ def repetition_signals(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.size(bg).alias("n_bigrams"),
         top_bg.alias("top_bigram_count"),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    max_dup_line_pct: int = 30,
+    max_top_bigram_pct: int = 20,
+    min_stopword_pct: int = 5,
+    max_punct_pct: int = 25,
+) -> DataFrame:
+    """Composite keep/drop corpus-quality gate (Gopher rules, Rae et al.
+    2021 §A1.1): length bounds, duplicate-line fraction, most-frequent-
+    bigram fraction, stopword floor, punctuation ceiling — the standard
+    pre-training document filter, composed from this module's signals into
+    one decision column plus an auditable reason list.
+
+    Every threshold compares INTEGERS (`numerator * 100 > pct * denominator`)
+    rather than floats, so the decision is bit-identical across engines (the
+    DuckDB oracle twin in __spark_entry__ replays the same integer algebra —
+    no float-rounding divergence at the boundary).
+
+    Emits `keep` (boolean) and `drop_reasons` (comma-joined, fixed order) —
+    downstream pipelines `filter("keep")` for the corpus and aggregate
+    drop_reasons for loss accounting. Pure per-row Catalyst projection:
+    shuffle-free, whole-stage codegen, scales linearly with input bytes.
+    """
+    w = _toks(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    pair_len = F.greatest(n_words - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, pair_len), F.slice(w, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bg = F.when(F.size(bg) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
+        )
+    )
+    stop_hits = F.size(F.filter(w, lambda t: t.isin(STOPWORDS)))
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+
+    reasons = [
+        ("too_short", n_words < min_words),
+        ("too_long", n_words > max_words),
+        ("dup_lines", dup_lines * 100 > F.lit(max_dup_line_pct) * n_lines),
+        ("rep_bigrams", top_bg * 100 > F.lit(max_top_bigram_pct) * F.size(bg)),
+        ("low_stopword", stop_hits * 100 < F.lit(min_stopword_pct) * n_words),
+        ("high_punct", punct * 100 > F.lit(max_punct_pct) * n_chars),
+    ]
+    reason_arr = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in reasons])
+    )
+    return df.select(
+        "*",
+        (F.size(reason_arr) == 0).alias("keep"),
+        F.concat_ws(",", reason_arr).alias("drop_reasons"),
+    )

@@ -40,30 +40,103 @@ def minhash_signature(
     return df.select(F.col(id_col), *cols)
 
 
+def lsh_plan(threshold: float, n_hashes: int) -> dict:
+    """Pick the (bands, rows) split of an n-hash MinHash signature whose LSH
+    S-curve threshold best matches the requested Jaccard threshold.
+
+    Public math (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+    §3.4.3): with b bands of r rows, a pair of Jaccard similarity s becomes
+    a candidate with probability P(s) = 1 - (1 - s^r)^b, an S-curve whose
+    inflection sits near t ≈ (1/b)^(1/r). Larger r ⇒ fewer false positives
+    (sharper curve, higher t); larger b ⇒ fewer false negatives (lower t).
+    We enumerate every (b, r) with b*r <= n_hashes, r >= 1, and keep the one
+    minimizing |((1/b)^(1/r)) - threshold|, breaking ties toward MORE hashes
+    used (b*r larger ⇒ sharper curve) and then larger r. Also reports the
+    integrated false-positive mass below the threshold and false-negative
+    mass above it (trapezoid over P(s)) so callers can budget verify cost.
+
+    Planning is driver-side pure Python — zero Spark jobs; the plan only
+    changes the shape of the banded projection in minhash_lsh_pairs.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    best = None
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        if b < 1:
+            break
+        t_est = (1.0 / b) ** (1.0 / r)
+        key = (abs(t_est - threshold), -(b * r), -r)
+        if best is None or key < best[0]:
+            best = (key, b, r, t_est)
+    _, b, r, t_est = best
+
+    def p(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    steps = 200
+    fp = fn = 0.0
+    for i in range(steps):
+        s0, s1 = i / steps, (i + 1) / steps
+        mid = (p(s0) + p(s1)) / 2.0 / steps
+        if s1 <= threshold:
+            fp += mid  # candidate mass below threshold (wasted verifies)
+        elif s0 >= threshold:
+            fn += (1.0 / steps) - mid  # missed mass above threshold
+    return {
+        "bands": b,
+        "rows": r,
+        "hashes_used": b * r,
+        "est_threshold": round(t_est, 4),
+        "false_positive_mass": round(fp, 4),
+        "false_negative_mass": round(fn, 4),
+    }
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
     k: int = 6,
     bands: int | None = None,
+    rows_per_band: int = 1,
+    threshold: float | None = None,
     min_agreement: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures.
 
-    Explode signatures to (band, value) rows, equi-join on the band bucket —
-    a hash join keyed on (band_idx, value), never an all-pairs cross — then
-    score candidates by full-signature agreement (estimated Jaccard)."""
-    k_bands = bands or k
+    Explode signatures to (band, value) rows — with rows_per_band > 1 a
+    band's value is the concatenation of its r hashes, so a bucket collision
+    needs all r to agree (the MMDS S-curve sharpener) — then equi-join on
+    the band bucket (a hash join keyed on (band_idx, value), never an
+    all-pairs cross) and score candidates by full-signature agreement
+    (estimated Jaccard). Pass `threshold=` to let lsh_plan() pick
+    (bands, rows_per_band) from the S-curve instead of choosing by hand."""
+    if threshold is not None:
+        plan = lsh_plan(threshold, k)
+        k_bands, rows_per_band = plan["bands"], plan["rows"]
+    else:
+        k_bands = bands or (k // rows_per_band)
+    if k_bands * rows_per_band > k:
+        raise ValueError("bands * rows_per_band must be <= k")
     thresh = min_agreement if min_agreement is not None else (k - 1)
     sig = minhash_signature(df, k=k, id_col=id_col, text_col=text_col)
     sig_struct = F.struct(*[F.col(f"mh_{i}") for i in range(k)])
+
+    def _band_val(band: int):
+        lo = band * rows_per_band
+        cols = [F.col(f"mh_{j}") for j in range(lo, lo + rows_per_band)]
+        return cols[0] if rows_per_band == 1 else F.concat_ws("|", *cols)
+
     exploded = sig.select(
         F.col(id_col),
         sig_struct.alias("_sig"),
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("val"))
+                F.struct(F.lit(i).alias("band"), _band_val(i).alias("val"))
                 for i in range(k_bands)
             ])
         ).alias("_b"),

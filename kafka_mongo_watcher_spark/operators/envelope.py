@@ -134,6 +134,40 @@ def transform_events(
     return df
 
 
+def quarantine_malformed(
+    df: DataFrame, *, key_cols=("repo", "path")
+) -> tuple[DataFrame, DataFrame]:
+    """Split a change batch into (valid, dead-letter) DataFrames.
+
+    The reference Transformer logs-and-skips events whose document key is
+    missing/empty and keeps the stream alive (/root/reference/internal/
+    kafka/transformer.go:19-23; skip test transformer_test.go:56-90). A log
+    line is the wrong quarantine at 10^10-event scale — rejects must land
+    in an auditable side table so loss accounting survives the job. This
+    returns the same split as transform_events(drop_malformed=True) plus a
+    `reject_reason` column (comma-joined, fixed order: null_X before
+    empty_X, key-column order) on the dead-letter side.
+
+    Both outputs are lazy plans over the same source; a foreachBatch caller
+    writing both should persist the batch (micro-batches are small) or rely
+    on the file-source cache — the reject side is typically ~0 rows, and
+    Catalyst prunes the reason projection from the valid side entirely.
+    """
+    reasons = []
+    for c in key_cols:
+        reasons.append((f"null_{c}", F.col(c).isNull()))
+        reasons.append((f"empty_{c}", F.col(c) == ""))
+    reason_arr = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in reasons])
+    )
+    tagged = df.withColumn("_reasons", reason_arr)
+    valid = tagged.filter(F.size("_reasons") == 0).drop("_reasons")
+    rejects = tagged.filter(F.size("_reasons") > 0).select(
+        "*", F.concat_ws(",", F.col("_reasons")).alias("reject_reason")
+    ).drop("_reasons")
+    return valid, rejects
+
+
 def debug_payload(df: DataFrame) -> DataFrame:
     """Update-vs-insert payload selection (debugger.go:33-37): updates show
     the delta (here: the fingerprint), everything else the full document."""

@@ -17,7 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from kafka_mongo_watcher_spark.operators.envelope import transform_events
+from kafka_mongo_watcher_spark.operators.envelope import (
+    quarantine_malformed,
+    transform_events,
+)
 from kafka_mongo_watcher_spark.plans.lake import LakeTable
 from kafka_mongo_watcher_spark.sources.events import stream_event_log
 
@@ -34,6 +37,7 @@ def run_replay_stream(
     stop_after_batches: int | None = None,
     metrics_sink: list | None = None,
     handle_signals: bool = False,
+    dlq_dir: str | None = None,
 ) -> list:
     """Run the streaming apply until the log is drained (availableNow) or
     until `stop_after_batches` epochs committed (resume-test hook).
@@ -46,13 +50,35 @@ def run_replay_stream(
     The Spark analog: query.stop() ends the stream; an epoch interrupted
     mid-merge is NOT in the manifest's applied map, so the next start
     replays it identically from the checkpoint (drain-before-close
-    at-least-once, upgraded to exactly-once by batch-id fencing)."""
+    at-least-once, upgraded to exactly-once by batch-id fencing).
+
+    `dlq_dir` routes malformed events (null/empty key columns) to a
+    dead-letter parquet table with per-row reject reasons instead of
+    silently dropping them — overwrite-per-epoch, so checkpoint replays
+    never duplicate reject rows."""
     stats: list = metrics_sink if metrics_sink is not None else []
     stop_requested = {"flag": False}
 
     def apply_batch(batch_df, epoch_id: int):
         table = LakeTable(spark, table_path)  # refresh snapshot pointer
-        prepared = transform_events(batch_df, fingerprint=False)
+        src = batch_df
+        if dlq_dir is not None:
+            # Dead-letter sink (transformer.go:19-23 skip → auditable table):
+            # rejects land in a per-epoch parquet dir BEFORE the merge;
+            # overwrite-per-epoch makes a replayed epoch rewrite the same
+            # reject rows instead of appending duplicates (same fencing idea
+            # as the manifest's applied map). ~0 rows in healthy streams; the
+            # valid side's plan is the filter transform_events would apply.
+            from pyspark.sql import functions as _F
+
+            valid, rejects = quarantine_malformed(batch_df)
+            (
+                rejects.withColumn("epoch", _F.lit(epoch_id))
+                .write.mode("overwrite")
+                .parquet(f"{dlq_dir}/epoch={epoch_id}")
+            )
+            src = valid
+        prepared = transform_events(src, fingerprint=False)
         s = table.merge(
             prepared, source_id=source_id, batch_id=epoch_id, salted=salted
         )

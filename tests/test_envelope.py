@@ -8,6 +8,7 @@ from kafka_mongo_watcher_spark.operators.envelope import (
     debug_payload,
     keep_last_n,
     op_type_filter,
+    quarantine_malformed,
     text_search_filter,
     transform_events,
 )
@@ -91,3 +92,25 @@ def test_keep_last_n(spark):
     max_seq = ev.agg(F.max("commit_seq")).first()[0]
     assert max(r["commit_seq"] for r in last) == max_seq
     assert min(r["commit_seq"] for r in last) > max_seq - 200
+
+
+def test_quarantine_malformed_partitions_batch(spark):
+    ev = generate_events(spark, 1500)  # ~1% malformed
+    valid, rejects = quarantine_malformed(ev)
+    total, n_valid, n_rej = ev.count(), valid.count(), rejects.count()
+    assert n_valid + n_rej == total and n_rej > 0
+    # split agrees with transform_events' drop filter
+    kept = transform_events(ev, fingerprint=False, with_lineage=False)
+    assert kept.count() == n_valid
+    # reasons are per-column and comma-joined in fixed order
+    assert {r.reject_reason for r in rejects.select("reject_reason").distinct().collect()} == {
+        "null_repo,null_path"
+    }
+    # empty-string keys get their own reason
+    one = spark.createDataFrame(
+        [("", "src/a.py", 1), ("org/r", None, 2)],
+        ["repo", "path", "commit_seq"],
+    )
+    _, rej2 = quarantine_malformed(one)
+    got = {r.commit_seq: r.reject_reason for r in rej2.collect()}
+    assert got == {1: "empty_repo", 2: "null_path"}

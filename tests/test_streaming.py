@@ -251,3 +251,32 @@ def test_session_window_gap_boundary_and_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from sess_complete").collect()
     }
     assert got == batch
+
+
+def test_dlq_quarantines_malformed_rows(spark, tmp_path):
+    """Dead-letter sink (transformer.go:19-23 skip → auditable table):
+    malformed events land in the DLQ with reasons, the merge sees only the
+    valid side, and the final state still equals the oracle (the oracle
+    drops malformed rows the same way the reference skips them)."""
+    ev = generate_events(spark, 3000)  # ~1% malformed (null repo+path)
+    rows = [r.asDict() for r in ev.collect()]
+    write_event_log(ev, str(tmp_path / "log"), n_chunks=3)
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    run_replay_stream(
+        spark,
+        log_dir=str(tmp_path / "log"),
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    n_bad = sum(
+        1 for r in rows
+        if r["repo"] in (None, "") or r["path"] in (None, "")
+    )
+    assert n_bad > 0, "fixture must contain malformed rows"
+    assert dlq.count() == n_bad
+    reasons = {r.reject_reason for r in dlq.select("reject_reason").distinct().collect()}
+    assert reasons == {"null_repo,null_path"}  # datagen nulls both together
+    assert _engine_state(t) == oracle_rows(rows)
