@@ -1235,6 +1235,87 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def _cdc_pipeline_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$setWindowFields` through the pipeline compiler: per-user running
+    total (ROWS unbounded→current), document number, and $shift (lag) over
+    event order — one Window shuffle on the partition key, evaluated as
+    Catalyst window functions (operators/pipeline.py::
+    _stage_set_window_fields). `value` is pre-cast to integer cents so the
+    ordered running sum is exact in both engines."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    _register(spark, sf_dir, "events")
+    src = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return apply_pipeline(
+        src,
+        '[{"$setWindowFields": {"partitionBy": "$user_id",'
+        ' "sortBy": {"event_id": 1},'
+        ' "output": {'
+        '   "running_cents": {"$sum": "$cents", "window": {"documents": ["unbounded", "current"]}},'
+        '   "rn": {"$documentNumber": {}},'
+        '   "prev_cents": {"$shift": {"output": "$cents", "by": -1, "default": -1}},'
+        '   "user_total": {"$sum": "$cents"}}}},'
+        ' {"$match": {"rn": {"$lte": 3}}}]',
+    ).select("user_id", "event_id", "running_cents", "rn", "prev_cents", "user_total")
+
+
+_CDC_PIPELINE_WINDOW_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), w AS (
+  SELECT user_id, event_id,
+    SUM(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+    COALESCE(LAG(cents, 1) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS prev_cents,
+    SUM(cents) OVER (PARTITION BY user_id) AS user_total
+  FROM src
+)
+SELECT user_id, event_id, running_cents, CAST(rn AS BIGINT) AS rn,
+       prev_cents, user_total
+FROM w WHERE rn <= 3
+"""
+
+
+def _cdc_pipeline_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$unionWith` through the pipeline compiler: append a pre-filtered
+    second collection (documents as a 'metadata stream') to the events
+    stream — unionByName with missing columns null-filled, like Mongo's
+    schemaless union. Counts per source tag verify the append."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    _register(spark, sf_dir, "events")
+    _register(spark, sf_dir, "documents")
+    src = spark.table("events").select(
+        F.lit("events").alias("src"), F.col("event_id").alias("rec_id")
+    )
+    docs = spark.table("documents").select(
+        F.lit("docs").alias("src"),
+        F.col("doc_id").cast("bigint").alias("rec_id"),
+        F.col("lang"),
+    )
+    return apply_pipeline(
+        src,
+        '[{"$unionWith": {"coll": "docs", "pipeline": [{"$match": {"lang": "en"}}]}},'
+        ' {"$group": {"_id": "$src", "n": {"$sum": 1}, "max_id": {"$max": "$rec_id"}}}]',
+        tables={"docs": docs},
+    ).select(F.col("_id").alias("src"), "n", "max_id")
+
+
+_CDC_PIPELINE_UNION_ORACLE = """
+WITH u AS (
+  SELECT 'events' AS src, event_id AS rec_id FROM events
+  UNION ALL
+  SELECT 'docs' AS src, CAST(doc_id AS BIGINT) AS rec_id FROM documents WHERE lang = 'en'
+)
+SELECT src, COUNT(*) AS n, MAX(rec_id) AS max_id FROM u GROUP BY src
+"""
+
+
 def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
     declarative hash aggregate with map-side partial aggregation."""
@@ -1418,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_group_stage": _cdc_pipeline_group_stage,
         "cdc_pipeline_lookup_unwind": _cdc_pipeline_lookup_unwind,
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
+        "cdc_pipeline_window_fields": _cdc_pipeline_window_fields,
+        "cdc_pipeline_union_with": _cdc_pipeline_union_with,
         "cdc_windowed_counts": _cdc_windowed_counts,
         "events_sessionize": _events_sessionize,
         "cdc_time_travel": _cdc_time_travel,
@@ -1451,6 +1534,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_group_stage": _CDC_PIPELINE_GROUP_ORACLE,
         "cdc_pipeline_lookup_unwind": _CDC_PIPELINE_LOOKUP_ORACLE,
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
+        "cdc_pipeline_window_fields": _CDC_PIPELINE_WINDOW_ORACLE,
+        "cdc_pipeline_union_with": _CDC_PIPELINE_UNION_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,

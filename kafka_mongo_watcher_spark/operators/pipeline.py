@@ -27,7 +27,9 @@ without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`,
 `$unwind` (posexplode; preserveNullAndEmptyArrays / includeArrayIndex as
 in Mongo), `$lookup` (equality form; foreign collections supplied as
 DataFrames via `tables=`), `$replaceRoot` / `$replaceWith` (struct
-promotion), and `$sortByCount`.
+promotion), `$sortByCount`, `$bucket`, `$facet`, `$unionWith` (unionByName,
+missing columns allowed), and `$setWindowFields` (window accumulators with
+ROWS frames, $rank/$denseRank/$documentNumber, $shift → lead/lag).
 Unknown stages raise — a silently-dropped stage would diverge from the
 reference, which forwards the stage to the server.
 
@@ -412,6 +414,107 @@ def _stage_facet(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     return out
 
 
+def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo `$setWindowFields` → Catalyst Window functions.
+
+    Supported: `partitionBy` ("$field" or absent = one global partition),
+    `sortBy` ({field: 1|-1}), and `output` operators `$sum $avg $min $max
+    $count $first $last` (with optional `window.documents` ROWS frame),
+    `$rank`, `$denseRank`, `$documentNumber`, and `$shift`
+    (by>0 = lead, by<0 = lag, with `default`). Mongo's default window when
+    none is given is the whole partition (["unbounded","unbounded"]) —
+    replicated here; positional operators require `sortBy`, as in Mongo.
+
+    Scale shape: ONE Window spec per distinct (partition, order, frame)
+    triple — Spark evaluates same-spec window functions in a single pass
+    after one hash shuffle on the partition key; no Python, no extra jobs.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(spec, dict) or "output" not in spec:
+        raise ValueError("$setWindowFields requires an 'output' document")
+    part = spec.get("partitionBy")
+    part_cols = []
+    if part is not None:
+        if not (isinstance(part, str) and part.startswith("$")):
+            raise ValueError("$setWindowFields partitionBy must be a '$field' path")
+        part_cols = [_field(part[1:])]
+    order_cols = []
+    for k, d in (spec.get("sortBy") or {}).items():
+        if d not in (1, -1):
+            raise ValueError(f"$setWindowFields sortBy direction for {k!r} must be 1 or -1")
+        order_cols.append(_field(k).asc() if d == 1 else _field(k).desc())
+
+    def _bound(v, side: str):
+        if v == "unbounded":
+            return Window.unboundedPreceding if side == "lo" else Window.unboundedFollowing
+        if v == "current":
+            return Window.currentRow
+        if isinstance(v, int):
+            return v
+        raise ValueError(f"unsupported documents bound {v!r}")
+
+    base = Window.partitionBy(*part_cols)
+    ordered = base.orderBy(*order_cols) if order_cols else base
+
+    _AGGS = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+             "$first": F.first, "$last": F.last,
+             "$count": lambda c: F.count(F.lit(1))}
+    _POSITIONAL = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                   "$documentNumber": F.row_number}
+
+    out = df
+    for name, odoc in spec["output"].items():
+        body = {k: v for k, v in odoc.items() if k != "window"}
+        if len(body) != 1:
+            raise ValueError(f"output field {name!r} must have exactly one operator")
+        (op, arg), = body.items()
+        if op in _POSITIONAL:
+            if not order_cols:
+                raise ValueError(f"{op} requires sortBy")
+            col = _POSITIONAL[op]().over(ordered)
+        elif op == "$shift":
+            if not order_cols:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            target = _field(arg["output"][1:])
+            fn = F.lead if by > 0 else F.lag
+            # lead/lag's own default fires only when the shifted position
+            # falls outside the partition (Mongo $shift semantics); an
+            # in-window null value stays null — coalesce would conflate them
+            col = fn(target, abs(by), arg.get("default")).over(ordered)
+        elif op in _AGGS:
+            target = _field(arg[1:]) if isinstance(arg, str) and str(arg).startswith("$") else F.lit(arg)
+            wdoc = (odoc.get("window") or {}).get("documents")
+            if wdoc is not None:
+                frame = ordered.rowsBetween(_bound(wdoc[0], "lo"), _bound(wdoc[1], "hi"))
+            else:
+                # Mongo default: the entire partition, regardless of sortBy
+                frame = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            col = _AGGS[op](target).over(frame)
+        else:
+            raise ValueError(f"unsupported $setWindowFields operator {op!r}")
+        out = out.withColumn(name, col)
+    return out
+
+
+def _stage_union_with(df: DataFrame, spec, tables: dict) -> DataFrame:
+    """Mongo `$unionWith`: append another collection's documents (optionally
+    pre-transformed by a sub-pipeline). Spark: unionByName with missing
+    columns allowed — Mongo documents are schemaless, union never fails on
+    shape. The foreign collection comes from `tables=`, like `$lookup`."""
+    if isinstance(spec, str):
+        coll, sub = spec, []
+    else:
+        coll, sub = spec["coll"], spec.get("pipeline", [])
+    if coll not in tables:
+        raise ValueError(f"$unionWith collection {coll!r} not supplied via tables=")
+    other = tables[coll]
+    for fn, s in _compile_stage_list(sub, tables):
+        other = fn(other, s)
+    return df.unionByName(other, allowMissingColumns=True)
+
+
 def _stage_sort(df: DataFrame, doc: dict) -> DataFrame:
     cols = []
     for k, d in doc.items():
@@ -439,7 +542,8 @@ _STAGES = {
     "$replaceWith": _stage_replace_root,
     "$sortByCount": _stage_sort_by_count,
     "$bucket": _stage_bucket,
-    # $lookup and $facet are bound to `tables` inside _compile_stage_list
+    "$setWindowFields": _stage_set_window_fields,
+    # $lookup, $facet, and $unionWith are bound to `tables` in _compile_stage_list
 }
 
 
@@ -453,15 +557,16 @@ def _compile_stage_list(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
         (name, spec), = stage.items()
-        if name in ("$lookup", "$facet"):
+        if name in ("$lookup", "$facet", "$unionWith"):
             bound = dict(tables or {})
-            fn = _stage_lookup if name == "$lookup" else _stage_facet
+            fn = {"$lookup": _stage_lookup, "$facet": _stage_facet,
+                  "$unionWith": _stage_union_with}[name]
             compiled.append((lambda df, s, _f=fn, _t=bound: _f(df, s, _t), spec))
             continue
         if name not in _STAGES:
             raise ValueError(
                 f"unsupported pipeline stage {name!r} (supported: "
-                f"{sorted(_STAGES) + ['$facet', '$lookup']})"
+                f"{sorted(_STAGES) + ['$facet', '$lookup', '$unionWith']})"
             )
         compiled.append((_STAGES[name], spec))
     return compiled

@@ -358,3 +358,69 @@ def test_facet_runs_subpipelines_over_same_input(docs):
 def test_facet_rejects_non_pipeline_field(docs):
     with pytest.raises(ValueError, match="pipeline array"):
         apply_pipeline(docs, '[{"$facet": {"x": {"$match": {}}}}]')
+
+
+# ---------- $setWindowFields ------------------------------------------------
+
+
+def test_set_window_fields_running_and_rank(docs):
+    out = apply_pipeline(
+        docs,
+        '[{"$setWindowFields": {"partitionBy": "$repo",'
+        ' "sortBy": {"n": 1},'
+        ' "output": {'
+        '   "running": {"$sum": "$n", "window": {"documents": ["unbounded", "current"]}},'
+        '   "rn": {"$documentNumber": {}},'
+        '   "repo_total": {"$sum": "$n"},'
+        '   "prev_n": {"$shift": {"output": "$n", "by": -1, "default": 0}}}}}]',
+    ).select("repo", "path", "running", "rn", "repo_total", "prev_n")
+    got = {r.path: (r.running, r.rn, r.repo_total, r.prev_n) for r in out.collect()}
+    # r1: n=1 then 5; r2: n=None sorts first (asc), then 9
+    assert got["a.py"] == (1, 1, 6, 0)
+    assert got["b.py"] == (6, 2, 6, 1)
+    assert got["d.go"] == (None, 1, 9, 0)
+    assert got["c.go"] == (9, 2, 9, None)  # $shift default only for out-of-window
+
+
+def test_set_window_fields_default_window_is_whole_partition(docs):
+    # Mongo: no window doc => whole partition even when sortBy is present
+    out = apply_pipeline(
+        docs,
+        '[{"$setWindowFields": {"partitionBy": "$repo", "sortBy": {"n": 1},'
+        ' "output": {"mx": {"$max": "$n"}}}}]',
+    )
+    assert {(r.repo, r.mx) for r in out.select("repo", "mx").distinct().collect()} == {
+        ("r1", 5), ("r2", 9)
+    }
+
+
+def test_set_window_fields_positional_requires_sortby(docs):
+    with pytest.raises(ValueError, match="requires sortBy"):
+        apply_pipeline(
+            docs,
+            '[{"$setWindowFields": {"partitionBy": "$repo",'
+            ' "output": {"rn": {"$documentNumber": {}}}}}]',
+        )
+
+
+# ---------- $unionWith ------------------------------------------------------
+
+
+def test_union_with_subpipeline_and_missing_columns(spark, docs):
+    other = spark.createDataFrame(
+        [Row(repo="r9", extra="x"), Row(repo="r10", extra="y")]
+    )
+    out = apply_pipeline(
+        docs,
+        '[{"$unionWith": {"coll": "other",'
+        ' "pipeline": [{"$match": {"repo": "r9"}}]}}]',
+        tables={"other": other},
+    )
+    assert out.count() == 5  # 4 docs + 1 filtered row from `other`
+    row = out.filter(F.col("repo") == "r9").collect()[0]
+    assert row.extra == "x" and row.op is None  # missing columns null-filled
+
+
+def test_union_with_unknown_collection_raises(docs):
+    with pytest.raises(ValueError, match="not supplied"):
+        apply_pipeline(docs, '[{"$unionWith": "nope"}]')
