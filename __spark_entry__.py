@@ -1316,6 +1316,55 @@ SELECT src, COUNT(*) AS n, MAX(rec_id) AS max_id FROM u GROUP BY src
 """
 
 
+def _cdc_pipeline_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$densify` + `$fill` through the pipeline compiler: bucket events
+    into (grp, slot) cells, add missing slots on the per-partition grid
+    (sequence+explode, anti-join — operators/pipeline.py::_stage_densify),
+    then carry the last observed total forward (last-ignorenulls window,
+    _stage_fill). The gap-filled time-series shape Mongo 5.1 added and a
+    CDC metrics stream needs."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    _register(spark, sf_dir, "events")
+    src = (
+        spark.table("events")
+        .groupBy(
+            (F.col("user_id") % 10).cast("int").alias("grp"),
+            (F.col("event_id") / 400).cast("int").alias("slot"),
+        )
+        .agg(F.round(F.sum(F.col("value") * 100)).cast("bigint").alias("cents"))
+    )
+    return apply_pipeline(
+        src,
+        '[{"$densify": {"field": "slot", "partitionByFields": ["grp"],'
+        ' "range": {"step": 1, "bounds": "partition"}}},'
+        ' {"$fill": {"partitionBy": "$grp", "sortBy": {"slot": 1},'
+        ' "output": {"cents": {"method": "locf"}}}}]',
+    ).select("grp", "slot", "cents")
+
+
+_CDC_PIPELINE_DENSIFY_ORACLE = """
+WITH src AS (
+  SELECT CAST(user_id % 10 AS INT) AS grp,
+         CAST(trunc(event_id / 400) AS INT) AS slot,
+         CAST(round(SUM(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT grp, MIN(slot) AS lo, MAX(slot) AS hi FROM src GROUP BY grp
+), grid AS (
+  SELECT grp, unnest(generate_series(lo, hi)) AS slot FROM b
+), dense AS (
+  SELECT g.grp, g.slot, s.cents
+  FROM grid g LEFT JOIN src s ON s.grp = g.grp AND s.slot = g.slot
+)
+SELECT grp, slot,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY grp ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+FROM dense
+"""
+
+
 def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
     declarative hash aggregate with map-side partial aggregation."""
@@ -1501,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_pipeline_window_fields": _cdc_pipeline_window_fields,
         "cdc_pipeline_union_with": _cdc_pipeline_union_with,
+        "cdc_pipeline_densify_fill": _cdc_pipeline_densify_fill,
         "cdc_windowed_counts": _cdc_windowed_counts,
         "events_sessionize": _events_sessionize,
         "cdc_time_travel": _cdc_time_travel,
@@ -1536,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_pipeline_window_fields": _CDC_PIPELINE_WINDOW_ORACLE,
         "cdc_pipeline_union_with": _CDC_PIPELINE_UNION_ORACLE,
+        "cdc_pipeline_densify_fill": _CDC_PIPELINE_DENSIFY_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,

@@ -28,8 +28,10 @@ without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`,
 in Mongo), `$lookup` (equality form; foreign collections supplied as
 DataFrames via `tables=`), `$replaceRoot` / `$replaceWith` (struct
 promotion), `$sortByCount`, `$bucket`, `$facet`, `$unionWith` (unionByName,
-missing columns allowed), and `$setWindowFields` (window accumulators with
-ROWS frames, $rank/$denseRank/$documentNumber, $shift → lead/lag).
+missing columns allowed), `$setWindowFields` (window accumulators with
+ROWS frames, $rank/$denseRank/$documentNumber, $shift → lead/lag),
+`$densify` (numeric-step grid fill via sequence+explode), and `$fill`
+(constant or locf via last-ignorenulls window).
 Unknown stages raise — a silently-dropped stage would diverge from the
 reference, which forwards the stage to the server.
 
@@ -498,6 +500,88 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo `$densify` (numeric step): add documents for missing values of
+    `field` on the step grid, per partition. Existing documents pass through
+    untouched (Mongo does not merge grid points with existing docs);
+    generated documents carry only the partition fields + the densify field,
+    everything else null.
+
+    Spark shape: per-partition (min, max) via one hash aggregate →
+    `sequence()` + `explode` mints the grid JVM-side → left_anti against the
+    existing (partition, field) values → unionByName with null-filled
+    columns. Two shuffles (agg + anti join), both on the partition key; the
+    grid never materializes on the driver."""
+    field = spec["field"]
+    parts = spec.get("partitionByFields", [])
+    rng = spec.get("range") or {}
+    step = rng.get("step")
+    if not isinstance(step, (int, float)) or step <= 0:
+        raise ValueError("$densify range.step must be a positive number")
+    bounds = rng.get("bounds", "partition")
+    part_cols = [_field(p) for p in parts]
+
+    if bounds == "partition":
+        b = df.groupBy(*part_cols).agg(
+            F.min(_field(field)).alias("_lo"), F.max(_field(field)).alias("_hi")
+        )
+    elif isinstance(bounds, list) and len(bounds) == 2:
+        # explicit [lo, hi): Mongo's upper bound is exclusive
+        b = df.select(*part_cols).distinct().select(
+            "*", F.lit(bounds[0]).alias("_lo"),
+            (F.lit(bounds[1]) - F.lit(step)).alias("_hi"),
+        )
+    else:
+        raise ValueError(f"unsupported $densify bounds {bounds!r}")
+    grid = b.select(
+        *parts, F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias(field)
+    )
+    missing = grid.join(
+        df.select(*parts, field).distinct(), [*parts, field], "left_anti"
+    )
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo `$fill`: fill null fields with a constant (`value`) or by
+    last-observation-carried-forward (`method: "locf"`) in sortBy order per
+    partition. locf = last(col, ignorenulls) over an unbounded-preceding
+    ROWS frame — one Window shuffle on the partition key, no Python."""
+    from pyspark.sql import Window
+
+    out_doc = spec.get("output")
+    if not out_doc:
+        raise ValueError("$fill requires an 'output' document")
+    part = spec.get("partitionBy")
+    part_cols = []
+    if part is not None:
+        if not (isinstance(part, str) and part.startswith("$")):
+            raise ValueError("$fill partitionBy must be a '$field' path")
+        part_cols = [_field(part[1:])]
+    order_cols = []
+    for k, d in (spec.get("sortBy") or {}).items():
+        if d not in (1, -1):
+            raise ValueError(f"$fill sortBy direction for {k!r} must be 1 or -1")
+        order_cols.append(_field(k).asc() if d == 1 else _field(k).desc())
+
+    out = df
+    for name, how in out_doc.items():
+        if "value" in how:
+            out = out.withColumn(name, F.coalesce(_field(name), F.lit(how["value"])))
+        elif how.get("method") == "locf":
+            if not order_cols:
+                raise ValueError("$fill method locf requires sortBy")
+            w = (
+                Window.partitionBy(*part_cols)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out = out.withColumn(name, F.last(_field(name), ignorenulls=True).over(w))
+        else:
+            raise ValueError(f"unsupported $fill spec for {name!r}: {how!r}")
+    return out
+
+
 def _stage_union_with(df: DataFrame, spec, tables: dict) -> DataFrame:
     """Mongo `$unionWith`: append another collection's documents (optionally
     pre-transformed by a sub-pipeline). Spark: unionByName with missing
@@ -543,6 +627,8 @@ _STAGES = {
     "$sortByCount": _stage_sort_by_count,
     "$bucket": _stage_bucket,
     "$setWindowFields": _stage_set_window_fields,
+    "$densify": _stage_densify,
+    "$fill": _stage_fill,
     # $lookup, $facet, and $unionWith are bound to `tables` in _compile_stage_list
 }
 

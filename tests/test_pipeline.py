@@ -424,3 +424,65 @@ def test_union_with_subpipeline_and_missing_columns(spark, docs):
 def test_union_with_unknown_collection_raises(docs):
     with pytest.raises(ValueError, match="not supplied"):
         apply_pipeline(docs, '[{"$unionWith": "nope"}]')
+
+
+# ---------- $densify / $fill -------------------------------------------------
+
+
+def test_densify_fills_partition_gaps(spark):
+    t = spark.createDataFrame(
+        [Row(grp="a", slot=1, v=10), Row(grp="a", slot=4, v=40),
+         Row(grp="b", slot=2, v=20)],
+    )
+    out = apply_pipeline(
+        t,
+        '[{"$densify": {"field": "slot", "partitionByFields": ["grp"],'
+        ' "range": {"step": 1, "bounds": "partition"}}}]',
+    )
+    got = {(r.grp, r.slot): r.v for r in out.collect()}
+    # a: grid 1..4 -> 2,3 added with null v; existing rows untouched
+    assert got == {("a", 1): 10, ("a", 2): None, ("a", 3): None,
+                   ("a", 4): 40, ("b", 2): 20}
+
+
+def test_densify_explicit_bounds_exclusive_upper(spark):
+    t = spark.createDataFrame([Row(grp="a", slot=5, v=1)])
+    out = apply_pipeline(
+        t,
+        '[{"$densify": {"field": "slot", "partitionByFields": ["grp"],'
+        ' "range": {"step": 2, "bounds": [1, 7]}}}]',
+    )
+    assert sorted(r.slot for r in out.collect()) == [1, 3, 5]  # 7 excluded
+
+
+def test_fill_locf_and_constant(spark):
+    t = spark.createDataFrame(
+        [Row(grp="a", slot=1, v=10, w=None), Row(grp="a", slot=2, v=None, w=None),
+         Row(grp="a", slot=3, v=None, w=5), Row(grp="b", slot=1, v=None, w=None)],
+        "grp string, slot int, v int, w int",
+    )
+    out = apply_pipeline(
+        t,
+        '[{"$fill": {"partitionBy": "$grp", "sortBy": {"slot": 1},'
+        ' "output": {"v": {"method": "locf"}, "w": {"value": 0}}}}]',
+    )
+    got = {(r.grp, r.slot): (r.v, r.w) for r in out.collect()}
+    assert got[("a", 1)] == (10, 0)
+    assert got[("a", 2)] == (10, 0)   # locf carries 10 forward
+    assert got[("a", 3)] == (10, 5)   # existing w untouched
+    assert got[("b", 1)] == (None, 0)  # no prior observation stays null
+
+
+def test_densify_then_fill_composes(spark):
+    t = spark.createDataFrame(
+        [Row(grp="a", slot=1, v=10), Row(grp="a", slot=3, v=30)]
+    )
+    out = apply_pipeline(
+        t,
+        '[{"$densify": {"field": "slot", "partitionByFields": ["grp"],'
+        ' "range": {"step": 1, "bounds": "partition"}}},'
+        ' {"$fill": {"partitionBy": "$grp", "sortBy": {"slot": 1},'
+        ' "output": {"v": {"method": "locf"}}}}]',
+    )
+    got = {r.slot: r.v for r in out.collect()}
+    assert got == {1: 10, 2: 10, 3: 30}
