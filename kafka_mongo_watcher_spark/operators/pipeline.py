@@ -599,6 +599,45 @@ def _stage_union_with(df: DataFrame, spec, tables: dict) -> DataFrame:
     return df.unionByName(other, allowMissingColumns=True)
 
 
+def _stage_merge(df: DataFrame, spec, tables: dict) -> DataFrame:
+    """Mongo `$merge`: upsert the pipeline's output into a collection. Here
+    the collection IS the engine's lake table — `tables=` supplies a
+    LakeTable (anything with .merge/.snapshot), and the stage delegates to
+    its exactly-once LWW bucketed merge. The supported shape is the one the
+    engine implements: `on` = the table key (repo, path), `whenMatched:
+    "replace"` + `whenNotMatched: "insert"` (Mongo's defaults are merge/
+    insert — pass "replace" explicitly or rely on ours); anything else
+    raises rather than silently diverging.
+
+    Unlike every other stage, `$merge` is an ACTION: applying the pipeline
+    runs the merge job(s) immediately (Mongo too treats $merge as the
+    terminal writing stage). The stage returns the refreshed target
+    snapshot, so a pipeline ending in $merge yields the post-merge
+    collection — queryable like any other stage output."""
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    into = spec.get("into")
+    target = (tables or {}).get(into)
+    if target is None or not hasattr(target, "merge"):
+        raise ValueError(
+            f"$merge target {into!r} must be supplied via tables= as a lake table"
+        )
+    on = spec.get("on", ["repo", "path"])
+    if isinstance(on, str):
+        on = [on]
+    if sorted(on) != ["path", "repo"]:
+        raise ValueError("$merge on must be the table key ['repo', 'path']")
+    when_matched = spec.get("whenMatched", "replace")
+    when_not_matched = spec.get("whenNotMatched", "insert")
+    if when_matched != "replace" or when_not_matched != "insert":
+        raise ValueError(
+            "$merge supports whenMatched='replace' + whenNotMatched='insert' "
+            f"(LWW upsert), got {when_matched!r}/{when_not_matched!r}"
+        )
+    target.merge(df)
+    return target.refresh().snapshot()
+
+
 def _stage_sort(df: DataFrame, doc: dict) -> DataFrame:
     cols = []
     for k, d in doc.items():
@@ -643,16 +682,18 @@ def _compile_stage_list(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
         (name, spec), = stage.items()
-        if name in ("$lookup", "$facet", "$unionWith"):
+        if name in ("$lookup", "$facet", "$unionWith", "$merge"):
+            if name == "$merge" and i != len(stages) - 1:
+                raise ValueError("$merge must be the last pipeline stage")
             bound = dict(tables or {})
             fn = {"$lookup": _stage_lookup, "$facet": _stage_facet,
-                  "$unionWith": _stage_union_with}[name]
+                  "$unionWith": _stage_union_with, "$merge": _stage_merge}[name]
             compiled.append((lambda df, s, _f=fn, _t=bound: _f(df, s, _t), spec))
             continue
         if name not in _STAGES:
             raise ValueError(
                 f"unsupported pipeline stage {name!r} (supported: "
-                f"{sorted(_STAGES) + ['$facet', '$lookup', '$unionWith']})"
+                f"{sorted(_STAGES) + ['$facet', '$lookup', '$unionWith', '$merge']})"
             )
         compiled.append((_STAGES[name], spec))
     return compiled

@@ -486,3 +486,49 @@ def test_densify_then_fill_composes(spark):
     )
     got = {r.slot: r.v for r in out.collect()}
     assert got == {1: 10, 2: 10, 3: 30}
+
+
+# ---------- $merge (terminal write stage → LakeTable) ------------------------
+
+
+def test_merge_stage_upserts_into_lake_table(spark, tmp_path):
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cols = ("partition_id int, offset bigint, op string, repo string, "
+            "path string, commit string, lang string, content string, "
+            "content_sha256 string, commit_seq bigint")
+    batch = spark.createDataFrame(
+        [(0, 1, "insert", "r", "p", "c1", "py", "body", "sha1", 1),
+         (0, 2, "insert", "r", "skipme", "c2", "py", "body", "sha2", 2)],
+        cols,
+    )
+    out = apply_pipeline(
+        batch,
+        '[{"$match": {"path": {"$ne": "skipme"}}},'
+        ' {"$merge": {"into": "t", "on": ["repo", "path"],'
+        '  "whenMatched": "replace", "whenNotMatched": "insert"}}]',
+        tables={"t": t},
+    )
+    # stage returns the post-merge snapshot; the filtered row never lands
+    assert {(r.repo, r.path) for r in out.select("repo", "path").collect()} == {("r", "p")}
+    assert {(r.repo, r.path) for r in t.snapshot().select("repo", "path").collect()} == {("r", "p")}
+
+
+def test_merge_stage_must_be_last_and_validated(spark, tmp_path, docs):
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    with pytest.raises(ValueError, match="last pipeline stage"):
+        apply_pipeline(docs, '[{"$merge": "t"}, {"$limit": 1}]')
+    with pytest.raises(ValueError, match="supplied via tables"):
+        apply_pipeline(docs, '[{"$merge": "nope"}]')
+    t = LakeTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    with pytest.raises(ValueError, match="table key"):
+        apply_pipeline(docs, '[{"$merge": {"into": "t", "on": ["repo"]}}]',
+                       tables={"t": t})
+    with pytest.raises(ValueError, match="whenMatched"):
+        apply_pipeline(
+            docs,
+            '[{"$merge": {"into": "t", "whenMatched": "keepExisting"}}]',
+            tables={"t": t},
+        )
