@@ -1006,6 +1006,37 @@ FROM reasons
 """
 
 
+def _text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking through the real operator (functions/
+    text.py::chunk_documents): 64-token windows, 16-token overlap
+    (stride 48). Pure generator projection — the oracle twin replays the
+    same window algebra with DuckDB list slicing."""
+    from kafka_mongo_watcher_spark.functions.text import chunk_documents
+
+    _register(spark, sf_dir, "documents")
+    return chunk_documents(
+        spark.table("documents").select("doc_id", "text")
+    ).select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+
+
+_TEXT_CHUNK_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) <= 64 THEN 1
+         ELSE CAST(ceil((len(w) - 64) / 48.0) AS INT) + 1 END AS nc
+  FROM base
+), x AS (
+  SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+       len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS chunk_tokens
+FROM x
+"""
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters through the real operator
     (functions/text.py::repetition_signals): integer numerators and
@@ -1539,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "text_repetition": _text_repetition,
         "text_corpus_filter": _text_corpus_filter,
+        "text_chunk": _text_chunk,
         "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1575,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "text_corpus_filter": _TEXT_CORPUS_FILTER_ORACLE,
+        "text_chunk": _TEXT_CHUNK_ORACLE,
         "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),

@@ -183,3 +183,46 @@ def corpus_filter(
         (F.size(reason_arr) == 0).alias("keep"),
         F.concat_ws(",", reason_arr).alias("drop_reasons"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pre-training step
+    that splits long documents into fixed-token windows with overlap so no
+    training example exceeds the context budget and boundaries don't lose
+    bigram context.
+
+    stride = chunk_tokens - overlap_tokens; windows start at 0, stride,
+    2*stride, ...; a document of n <= chunk_tokens tokens yields exactly one
+    chunk; otherwise ceil((n - chunk_tokens)/stride) + 1 chunks, the last
+    one possibly short (slice clamps). Emits one row per (doc, chunk_id)
+    with the chunk text and its token count.
+
+    Scale shape: split → sequence → transform → posexplode, all inside
+    whole-stage codegen — a pure generator projection, shuffle-free, no
+    Python. Row count grows by the chunking factor only; the source text
+    column is scanned once.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, F.lit(chunk_tokens)), " "
+        ),
+    )
+    other = [c for c in df.columns if c != text_col]
+    return df.select(
+        *other, F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))

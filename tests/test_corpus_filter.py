@@ -127,3 +127,52 @@ def test_corpus_filter_reason_order_is_fixed(spark):
         key=["too_short", "too_long", "dup_lines", "rep_bigrams",
              "low_stopword", "high_punct"].index,
     )
+
+
+# ---------- sliding-window chunking ----------------------------------------
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from kafka_mongo_watcher_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([("a", "one two three")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=8, overlap_tokens=2).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0
+    assert rows[0].chunk_text == "one two three"
+    assert rows[0].chunk_tokens == 3
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from kafka_mongo_watcher_spark.functions.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([("a", " ".join(words))], ["doc_id", "text"])
+    # chunk=4, overlap=2 -> stride 2 -> starts 0,2,4,6 (ceil((10-4)/2)+1 = 4)
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_text for r in rows] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    # every consecutive pair shares exactly the 2-token overlap
+    assert all(r.chunk_tokens == 4 for r in rows)
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail(spark):
+    from kafka_mongo_watcher_spark.functions.text import chunk_documents
+
+    words = [f"w{i}" for i in range(8)]
+    df = spark.createDataFrame([("a", " ".join(words))], ["doc_id", "text"])
+    # chunk=4, overlap=0 -> stride 4 -> exactly 2 chunks, no empty third
+    rows = chunk_documents(df, chunk_tokens=4, overlap_tokens=0).collect()
+    assert sorted(r.chunk_text for r in rows) == ["w0 w1 w2 w3", "w4 w5 w6 w7"]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from kafka_mongo_watcher_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([("a", "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
