@@ -516,8 +516,11 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     parts = spec.get("partitionByFields", [])
     rng = spec.get("range") or {}
     step = rng.get("step")
-    if not isinstance(step, (int, float)) or step <= 0:
-        raise ValueError("$densify range.step must be a positive number")
+    # integer steps only: the grid is minted by Spark's sequence(), which is
+    # defined over integral/temporal types — Mongo's fractional steps would
+    # need a scaled-integer grid (multiply through by 10^k), unsupported here
+    if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
+        raise ValueError("$densify range.step must be a positive integer")
     bounds = rng.get("bounds", "partition")
     part_cols = [_field(p) for p in parts]
 
