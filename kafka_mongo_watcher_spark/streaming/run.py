@@ -38,6 +38,7 @@ def run_replay_stream(
     metrics_sink: list | None = None,
     handle_signals: bool = False,
     dlq_dir: str | None = None,
+    suppress_stale: bool = False,
 ) -> list:
     """Run the streaming apply until the log is drained (availableNow) or
     until `stop_after_batches` epochs committed (resume-test hook).
@@ -55,7 +56,14 @@ def run_replay_stream(
     `dlq_dir` routes malformed events (null/empty key columns) to a
     dead-letter parquet table with per-row reject reasons instead of
     silently dropping them — overwrite-per-epoch, so checkpoint replays
-    never duplicate reject rows."""
+    never duplicate reject rows.
+
+    `suppress_stale=True` inserts the stateful cross-batch suppressor
+    (`streaming.stateful.suppress_stale`) between the source and the sink:
+    events that already lost LWW to an earlier epoch are dropped before the
+    merge path. Final table state is identical either way (tested); the
+    flag pays one extra keyed shuffle per batch to skip merge work on
+    re-delivered / out-of-order feeds."""
     stats: list = metrics_sink if metrics_sink is not None else []
     stop_requested = {"flag": False}
 
@@ -86,6 +94,12 @@ def run_replay_stream(
         stats.append(s)
 
     events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    if suppress_stale:
+        from kafka_mongo_watcher_spark.streaming.stateful import (
+            suppress_stale as _suppress,
+        )
+
+        events = _suppress(events)
     q = (
         events.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
