@@ -1396,6 +1396,81 @@ FROM dense
 """
 
 
+def _cdc_pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$sample` deterministic mode through the pipeline compiler
+    (operators/pipeline.py::_stage_sample): order by sha256(seed ⊕ by-cols)
+    and take N — reproducible corpus subsampling (the same rows on every
+    run, every partitioning, any engine with sha256). Compiles to
+    TakeOrderedAndProject: per-partition top-N, no global sort. The oracle
+    reruns the identical selection rule in DuckDB."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(
+        ev,
+        '[{"$sample": {"size": 500, "by": ["event_id"], "seed": "kmw"}},'
+        ' {"$project": {"event_id": 1, "user_id": 1, "event_type": 1}}]',
+    )
+
+
+_CDC_PIPELINE_SAMPLE_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events
+ORDER BY sha256(concat_ws(chr(31), 'kmw', CAST(event_id AS VARCHAR))), event_id
+LIMIT 500
+"""
+
+
+def _cdc_pipeline_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$graphLookup` through the pipeline compiler: recursive ancestor walk
+    over a parent-pointer forest derived from events' user ids
+    (parent(u) = floor(u/2) for u ≥ 2; 0 and 1 are roots). BFS over
+    distinct start values, one equi join per depth level, visited anti-join
+    (operators/pipeline.py::_stage_graph_lookup); `$unwind` then flattens
+    the ancestor array so the result is row-comparable against a DuckDB
+    recursive CTE."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nodes = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .withColumn(
+            "parent",
+            F.when(F.col("uid") >= 2, F.floor(F.col("uid") / 2)).cast("bigint"),
+        )
+    )
+    out = apply_pipeline(
+        nodes,
+        '[{"$graphLookup": {"from": "nodes", "startWith": "$parent",'
+        ' "connectFromField": "parent", "connectToField": "uid",'
+        ' "as": "chain", "depthField": "d", "maxDepth": 40}},'
+        ' {"$unwind": "$chain"}]',
+        tables={"nodes": nodes},
+    )
+    return out.select(
+        F.col("uid").alias("uid0"),
+        F.col("chain.uid").alias("anc"),
+        F.col("chain.d").alias("d"),
+    )
+
+
+_CDC_PIPELINE_GRAPH_ORACLE = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT user_id AS uid,
+         CASE WHEN user_id >= 2 THEN CAST(floor(user_id / 2) AS BIGINT) END AS parent
+  FROM events
+), walk AS (
+  SELECT n.uid AS uid0, m.uid AS anc, m.parent AS anc_parent, CAST(0 AS BIGINT) AS d
+  FROM nodes n JOIN nodes m ON m.uid = n.parent
+  UNION ALL
+  SELECT w.uid0, m.uid, m.parent, w.d + 1
+  FROM walk w JOIN nodes m ON m.uid = w.anc_parent
+)
+SELECT uid0, anc, d FROM walk
+"""
+
+
 def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
     declarative hash aggregate with map-side partial aggregation."""
@@ -1580,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_group_stage": _cdc_pipeline_group_stage,
         "cdc_pipeline_lookup_unwind": _cdc_pipeline_lookup_unwind,
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
+        "cdc_pipeline_sample": _cdc_pipeline_sample,
+        "cdc_pipeline_graph_lookup": _cdc_pipeline_graph_lookup,
         "cdc_pipeline_window_fields": _cdc_pipeline_window_fields,
         "cdc_pipeline_union_with": _cdc_pipeline_union_with,
         "cdc_pipeline_densify_fill": _cdc_pipeline_densify_fill,
@@ -1617,6 +1694,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_group_stage": _CDC_PIPELINE_GROUP_ORACLE,
         "cdc_pipeline_lookup_unwind": _CDC_PIPELINE_LOOKUP_ORACLE,
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
+        "cdc_pipeline_sample": _CDC_PIPELINE_SAMPLE_ORACLE,
+        "cdc_pipeline_graph_lookup": _CDC_PIPELINE_GRAPH_ORACLE,
         "cdc_pipeline_window_fields": _CDC_PIPELINE_WINDOW_ORACLE,
         "cdc_pipeline_union_with": _CDC_PIPELINE_UNION_ORACLE,
         "cdc_pipeline_densify_fill": _CDC_PIPELINE_DENSIFY_ORACLE,

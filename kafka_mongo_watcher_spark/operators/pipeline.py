@@ -30,8 +30,12 @@ DataFrames via `tables=`), `$replaceRoot` / `$replaceWith` (struct
 promotion), `$sortByCount`, `$bucket`, `$facet`, `$unionWith` (unionByName,
 missing columns allowed), `$setWindowFields` (window accumulators with
 ROWS frames, $rank/$denseRank/$documentNumber, $shift → lead/lag),
-`$densify` (numeric-step grid fill via sequence+explode), and `$fill`
-(constant or locf via last-ignorenulls window).
+`$densify` (numeric-step grid fill via sequence+explode), `$fill`
+(constant or locf via last-ignorenulls window), `$sample` (Mongo random
+mode plus a deterministic sha256-ordered `by` mode for reproducible corpus
+subsampling), `$graphLookup` (BFS over distinct start values — per-level
+equi joins, cycle-safe via visited anti-join), `$merge` (lake upsert
+terminal), and `$out` (full-replace materialization terminal).
 Unknown stages raise — a silently-dropped stage would diverge from the
 reference, which forwards the stage to the server.
 
@@ -602,6 +606,178 @@ def _stage_union_with(df: DataFrame, spec, tables: dict) -> DataFrame:
     return df.unionByName(other, allowMissingColumns=True)
 
 
+def _stage_sample(df: DataFrame, spec) -> DataFrame:
+    """Mongo `$sample`: `{size: N}` pseudo-random documents. Two modes:
+
+    - `{"size": N}` — Mongo semantics: a random sample, NOT reproducible
+      across runs (Mongo's own $sample is nondeterministic). Compiles to
+      orderBy(rand()).limit(N) = TakeOrderedAndProject: each partition
+      keeps its top-N candidates, only N rows per partition reach the
+      driver-side merge — no global sort materialization at 100 TB.
+    - `{"size": N, "by": [cols], "seed": s?}` — deterministic engine
+      extension: order by sha2(seed ⊕ cols) and take N. The same rows come
+      back on every run, every partitioning, every cluster size, and any
+      engine with sha256 can reproduce the selection (the contract oracle
+      runs it in DuckDB). Training-data pipelines need THIS mode: corpus
+      subsampling must be stable or dataset versioning breaks.
+    """
+    if isinstance(spec, int):
+        spec = {"size": spec}
+    n = int(spec["size"])
+    if n < 0:
+        raise ValueError("$sample size must be >= 0")
+    by = spec.get("by")
+    if not by:
+        return df.orderBy(F.rand()).limit(n)
+    if isinstance(by, str):
+        by = [by]
+    seed = str(spec.get("seed", ""))
+    key = F.sha2(
+        F.concat_ws("\x1f", F.lit(seed), *[_field(c).cast("string") for c in by]),
+        256,
+    )
+    # hash asc, then the by-columns as an explicit total-order tie-break
+    # (collisions are ~impossible, but determinism must not rest on that)
+    return df.orderBy(key.asc(), *[_field(c).asc() for c in by]).limit(n)
+
+
+def _stage_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
+    """Mongo `$graphLookup`: recursive lookup over a self-referencing
+    collection — start from `startWith`, repeatedly match documents whose
+    `connectToField` equals the frontier, following their
+    `connectFromField`, and collect everything reached into the `as` array
+    (optionally stamping `depthField`).
+
+    Spark-first shape (no per-row recursion, no cartesian):
+    - BFS runs over DISTINCT start VALUES, not input documents — a million
+      docs sharing one start value traverse once, then join the result back.
+    - each depth level is ONE equi hash join frontier ⋈ foreign(connectTo);
+      the frontier is typically tiny, so Catalyst broadcasts it.
+    - visited-set anti-join makes traversal terminate on cyclic graphs and
+      deduplicates documents reachable via several paths (Mongo returns each
+      document once, at its minimum depth).
+    - `localCheckpoint` truncates the per-level plan lineage, the same
+      driver-loop discipline as `connected_components`
+      (operators/dedupe_docs.py). Depth levels are sequential by nature;
+      each level's join is fully parallel.
+
+    `maxDepth` bounds recursion like Mongo (depth 0 = the first lookup);
+    without it the engine caps at 20 levels and raises if the frontier is
+    still live — an unbounded walk over a 10^10-row edge table must be an
+    explicit choice, not a default.
+
+    Cost note: the foreign table is scanned once per depth level; for deep
+    graphs pass a cached/persisted DataFrame in `tables=`.
+    """
+    foreign = tables.get(spec["from"])
+    if foreign is None:
+        raise ValueError(f"$graphLookup from {spec['from']!r} not supplied via tables=")
+    start = spec["startWith"]
+    if not (isinstance(start, str) and start.startswith("$")):
+        raise ValueError("$graphLookup startWith must be a '$field' reference")
+    start_col = _field(start[1:])
+    cf, ct = spec["connectFromField"], spec["connectToField"]
+    as_field = spec["as"]
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+    cap = int(max_depth) if max_depth is not None else 20
+    f_cols = list(foreign.columns)
+    if cf not in f_cols or ct not in f_cols:
+        raise ValueError("$graphLookup connectFrom/ToField must be foreign columns")
+
+    frontier = (
+        df.select(start_col.alias("_gl_v0"))
+        .where(F.col("_gl_v0").isNotNull())
+        .distinct()
+        .withColumn("_gl_val", F.col("_gl_v0"))
+    )
+    reached: DataFrame | None = None
+    depth = 0
+    while True:
+        # qualified aliases: df and foreign may be the SAME DataFrame
+        # (self-referencing collection is $graphLookup's home case), which
+        # makes unqualified attributes ambiguous on the first level
+        m = (
+            frontier.alias("_gl_f")
+            .join(foreign.alias("_gl_t"),
+                  F.col("_gl_f._gl_val") == F.col(f"_gl_t.{ct}"))
+            .select(
+                F.col("_gl_f._gl_v0").alias("_gl_v0"),
+                *[F.col(f"_gl_t.{c}").alias(c) for c in f_cols],
+            )
+            .withColumn("_gl_depth", F.lit(depth).cast("long"))
+        )
+        if reached is not None:
+            # document identity = the full foreign row (Mongo dedups whole
+            # documents); first (= minimum) depth wins
+            m = m.join(
+                reached.select("_gl_v0", *f_cols), ["_gl_v0", *f_cols], "left_anti"
+            )
+        m = m.localCheckpoint()
+        if m.isEmpty():
+            break
+        reached = m if reached is None else reached.unionByName(m)
+        depth += 1
+        if depth > cap:
+            if max_depth is None:
+                raise ValueError(
+                    "$graphLookup exceeded the default 20-level cap; pass "
+                    "maxDepth explicitly to walk deeper"
+                )
+            break
+        frontier = m.select("_gl_v0", F.col(cf).alias("_gl_val")).distinct()
+
+    if depth_field and depth_field in f_cols:
+        raise ValueError(
+            f"$graphLookup depthField {depth_field!r} collides with a foreign column"
+        )
+    # NB: struct fields below use the COLUMN names verbatim (the depth column
+    # is renamed to depth_field first, never aliased inside the struct) — a
+    # struct-field alias that differs from its source attribute trips a
+    # Catalyst nested-pruning bug over unions of checkpointed frames
+    # (observed on 4.1: "key not found" in the optimizer)
+    entry_cols = [F.col(c) for c in f_cols]
+    if depth_field:
+        entry_cols.append(F.col(depth_field))
+    if reached is None:
+        # nothing reachable anywhere: every doc gets an empty (typed) array
+        probe = foreign
+        if depth_field:
+            probe = probe.withColumn(depth_field, F.lit(0).cast("long"))
+        struct_t = probe.select(F.struct(*entry_cols).alias("_e")).schema["_e"].dataType
+        from pyspark.sql import types as T
+
+        arr_t = T.ArrayType(struct_t)
+        return df.withColumn(as_field, F.array().cast(arr_t))
+    if depth_field:
+        reached = reached.withColumnRenamed("_gl_depth", depth_field)
+    agg = reached.groupBy("_gl_v0").agg(
+        F.collect_list(F.struct(*entry_cols)).alias(as_field)
+    )
+    arr_type = agg.schema[as_field].dataType
+    out = df.join(agg, start_col == agg["_gl_v0"], "left").drop("_gl_v0")
+    return out.withColumn(
+        as_field, F.coalesce(F.col(as_field), F.array().cast(arr_type))
+    )
+
+
+def _stage_out(df: DataFrame, spec, tables: dict) -> DataFrame:
+    """Mongo `$out`: REPLACE the target collection with the pipeline output.
+    The lake-native incremental upsert is `$merge`; `$out` is the
+    full-replace materialization — the target is a directory path supplied
+    via `tables=` (a string), written as parquet overwrite. Like `$merge`
+    it is an ACTION and must be the terminal stage; it returns the re-read
+    materialized collection."""
+    name = spec if isinstance(spec, str) else spec.get("coll") or spec.get("into")
+    target = (tables or {}).get(name)
+    if not isinstance(target, str):
+        raise ValueError(
+            f"$out target {name!r} must be supplied via tables= as an output path"
+        )
+    df.write.mode("overwrite").parquet(target)
+    return df.sparkSession.read.parquet(target)
+
+
 def _stage_merge(df: DataFrame, spec, tables: dict) -> DataFrame:
     """Mongo `$merge`: upsert the pipeline's output into a collection. Here
     the collection IS the engine's lake table — `tables=` supplies a
@@ -671,7 +847,9 @@ _STAGES = {
     "$setWindowFields": _stage_set_window_fields,
     "$densify": _stage_densify,
     "$fill": _stage_fill,
-    # $lookup, $facet, and $unionWith are bound to `tables` in _compile_stage_list
+    "$sample": _stage_sample,
+    # $lookup, $facet, $unionWith, $graphLookup, $merge, and $out are bound
+    # to `tables` in _compile_stage_list
 }
 
 
@@ -685,18 +863,20 @@ def _compile_stage_list(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"stage {i} must be a single-key document, got {stage!r}")
         (name, spec), = stage.items()
-        if name in ("$lookup", "$facet", "$unionWith", "$merge"):
-            if name == "$merge" and i != len(stages) - 1:
-                raise ValueError("$merge must be the last pipeline stage")
+        if name in ("$lookup", "$facet", "$unionWith", "$merge",
+                    "$graphLookup", "$out"):
+            if name in ("$merge", "$out") and i != len(stages) - 1:
+                raise ValueError(f"{name} must be the last pipeline stage")
             bound = dict(tables or {})
             fn = {"$lookup": _stage_lookup, "$facet": _stage_facet,
-                  "$unionWith": _stage_union_with, "$merge": _stage_merge}[name]
+                  "$unionWith": _stage_union_with, "$merge": _stage_merge,
+                  "$graphLookup": _stage_graph_lookup, "$out": _stage_out}[name]
             compiled.append((lambda df, s, _f=fn, _t=bound: _f(df, s, _t), spec))
             continue
         if name not in _STAGES:
             raise ValueError(
                 f"unsupported pipeline stage {name!r} (supported: "
-                f"{sorted(_STAGES) + ['$facet', '$lookup', '$unionWith', '$merge']})"
+                f"{sorted(_STAGES) + ['$facet', '$graphLookup', '$lookup', '$merge', '$out', '$unionWith']})"
             )
         compiled.append((_STAGES[name], spec))
     return compiled

@@ -146,7 +146,7 @@ def test_project_unset_limit(docs):
 
 def test_unknown_stage_and_operator_raise(docs):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline('[{"$graphLookup": {}}]')
+        compile_pipeline('[{"$redact": {}}]')
     with pytest.raises(ValueError, match="unsupported .match operator"):
         apply_pipeline(docs, '[{"$match": {"n": {"$mod": [2, 0]}}}]').count()
     with pytest.raises(ValueError, match="single-key"):
@@ -532,3 +532,134 @@ def test_merge_stage_must_be_last_and_validated(spark, tmp_path, docs):
             '[{"$merge": {"into": "t", "whenMatched": "keepExisting"}}]',
             tables={"t": t},
         )
+
+
+# ---------- $sample ------------------------------------------------------------
+
+
+def test_sample_deterministic_by_mode(docs):
+    """{size, by}: sha256-ordered selection — same rows every run, stable
+    under repartitioning."""
+    out1 = apply_pipeline(docs, '[{"$sample": {"size": 2, "by": ["path"]}}]')
+    out2 = apply_pipeline(
+        docs.repartition(7), '[{"$sample": {"size": 2, "by": ["path"]}}]'
+    )
+    rows1 = sorted(r.path for r in out1.collect())
+    rows2 = sorted(r.path for r in out2.collect())
+    assert rows1 == rows2 and len(rows1) == 2
+    # a different seed picks a (generally) different subset but still size N
+    out3 = apply_pipeline(
+        docs, '[{"$sample": {"size": 2, "by": ["path"], "seed": "z"}}]'
+    )
+    assert out3.count() == 2
+
+
+def test_sample_random_mode_size_only(docs):
+    out = apply_pipeline(docs, '[{"$sample": {"size": 3}}]')
+    assert out.count() == 3
+    assert apply_pipeline(docs, '[{"$sample": {"size": 99}}]').count() == 4
+
+
+# ---------- $graphLookup -------------------------------------------------------
+
+
+def _org_chart(spark):
+    # employee hierarchy: ceo <- vp1, vp2; vp1 <- eng1, eng2; eng1 <- intern
+    return spark.createDataFrame(
+        [
+            Row(name="ceo", reports_to=None),
+            Row(name="vp1", reports_to="ceo"),
+            Row(name="vp2", reports_to="ceo"),
+            Row(name="eng1", reports_to="vp1"),
+            Row(name="eng2", reports_to="vp1"),
+            Row(name="intern", reports_to="eng1"),
+        ]
+    )
+
+
+def test_graph_lookup_walks_ancestor_chain(spark):
+    emp = _org_chart(spark)
+    out = apply_pipeline(
+        emp,
+        '[{"$graphLookup": {"from": "emp", "startWith": "$reports_to",'
+        ' "connectFromField": "reports_to", "connectToField": "name",'
+        ' "as": "chain", "depthField": "d"}}]',
+        tables={"emp": emp},
+    ).collect()
+    chains = {
+        r.name: sorted((e.name, e.d) for e in r.chain) for r in out
+    }
+    assert chains["intern"] == [("ceo", 2), ("eng1", 0), ("vp1", 1)]
+    assert chains["eng1"] == [("ceo", 1), ("vp1", 0)]
+    assert chains["vp1"] == [("ceo", 0)]
+    assert chains["ceo"] == []  # startWith null -> empty array, not null
+
+
+def test_graph_lookup_max_depth_bounds_walk(spark):
+    emp = _org_chart(spark)
+    out = apply_pipeline(
+        emp,
+        '[{"$graphLookup": {"from": "emp", "startWith": "$reports_to",'
+        ' "connectFromField": "reports_to", "connectToField": "name",'
+        ' "as": "chain", "maxDepth": 0}}]',
+        tables={"emp": emp},
+    ).collect()
+    chains = {r.name: sorted(e.name for e in r.chain) for r in out}
+    assert chains["intern"] == ["eng1"]  # depth 0 = direct manager only
+    assert chains["ceo"] == []
+
+
+def test_graph_lookup_terminates_on_cycles(spark):
+    g = spark.createDataFrame(
+        [Row(node="a", nxt="b"), Row(node="b", nxt="c"), Row(node="c", nxt="a")]
+    )
+    start = spark.createDataFrame([Row(s="a")])
+    out = apply_pipeline(
+        start,
+        '[{"$graphLookup": {"from": "g", "startWith": "$s",'
+        ' "connectFromField": "nxt", "connectToField": "node",'
+        ' "as": "reach"}}]',
+        tables={"g": g},
+    ).collect()
+    assert sorted(e.node for e in out[0].reach) == ["a", "b", "c"]
+
+
+def test_graph_lookup_default_cap_raises_without_max_depth(spark):
+    # a 30-deep chain exceeds the 20-level engine cap
+    chain = spark.createDataFrame(
+        [Row(node=i, nxt=i + 1) for i in range(30)]
+    )
+    start = spark.createDataFrame([Row(s=0)])
+    pipe = (
+        '[{"$graphLookup": {"from": "g", "startWith": "$s",'
+        ' "connectFromField": "nxt", "connectToField": "node",'
+        ' "as": "reach"}}]'
+    )
+    with pytest.raises(ValueError, match="maxDepth"):
+        apply_pipeline(start, pipe, tables={"g": chain})
+
+
+# ---------- $out ---------------------------------------------------------------
+
+
+def test_out_materializes_and_is_terminal(spark, docs, tmp_path):
+    target = str(tmp_path / "outcoll")
+    out = apply_pipeline(
+        docs,
+        '[{"$match": {"op": "insert"}}, {"$project": {"repo": 1, "path": 1}},'
+        ' {"$out": "dst"}]',
+        tables={"dst": target},
+    )
+    assert sorted(r.path for r in out.collect()) == ["a.py", "d.go"]
+    assert sorted(
+        r.path for r in spark.read.parquet(target).collect()
+    ) == ["a.py", "d.go"]
+    # $out replaces, not appends
+    apply_pipeline(
+        docs,
+        '[{"$match": {"op": "delete"}}, {"$project": {"path": 1}}, {"$out": "dst"}]',
+        tables={"dst": target},
+    )
+    assert [r.path for r in spark.read.parquet(target).collect()] == ["c.go"]
+    with pytest.raises(ValueError, match="last"):
+        apply_pipeline(docs, '[{"$out": "dst"}, {"$limit": 1}]', tables={"dst": target})
