@@ -1037,6 +1037,41 @@ FROM x
 """
 
 
+def _corpus_mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic corpus mixing through the real operator
+    (functions/text.py::corpus_mix): exact per-language quotas selected by
+    sha256(seed ⊕ doc_id) rank — two-phase salted rank so no group sits on
+    a single reducer at 100 TB; an over-sized quota (es: 500) takes the
+    whole group. The oracle replays the same rule with one ROW_NUMBER in
+    DuckDB — identical output, different shuffle shape."""
+    from kafka_mongo_watcher_spark.functions.text import corpus_mix
+
+    _register(spark, sf_dir, "documents")
+    return corpus_mix(
+        spark.table("documents"),
+        {"en": 100, "de": 30, "zh": 25, "fr": 20, "es": 500},
+        group_col="lang",
+        id_cols=("doc_id",),
+        seed="mix",
+    ).select("doc_id", "lang", "source")
+
+
+_CORPUS_MIX_ORACLE = """
+WITH q(lang, quota) AS (
+  VALUES ('en', 100), ('de', 30), ('zh', 25), ('fr', 20), ('es', 500)
+), r AS (
+  SELECT d.doc_id, d.lang, d.source, q.quota,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.lang
+      ORDER BY sha256(concat_ws(chr(31), 'mix', CAST(d.doc_id AS VARCHAR))),
+               d.doc_id
+    ) AS rn
+  FROM documents d JOIN q ON d.lang = q.lang
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= quota
+"""
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters through the real operator
     (functions/text.py::repetition_signals): integer numerators and
@@ -1646,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_corpus_filter": _text_corpus_filter,
         "text_chunk": _text_chunk,
+        "corpus_mix_stratified": _corpus_mix_stratified,
         "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1685,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "text_corpus_filter": _TEXT_CORPUS_FILTER_ORACLE,
         "text_chunk": _TEXT_CHUNK_ORACLE,
+        "corpus_mix_stratified": _CORPUS_MIX_ORACLE,
         "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),

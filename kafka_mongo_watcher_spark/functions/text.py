@@ -226,3 +226,64 @@ def chunk_documents(
     return df.select(
         *other, F.posexplode(chunks).alias("chunk_id", "chunk_text")
     ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def corpus_mix(
+    df: DataFrame,
+    quotas: dict[str, int],
+    *,
+    group_col: str = "source",
+    id_cols=("doc_id",),
+    seed: str = "",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic stratified corpus mixing — the "data recipe" step of a
+    pre-training pipeline: take exactly `quotas[g]` documents from each
+    group g (domain, language, source), selected reproducibly so the same
+    recipe over the same corpus yields the same dataset on every run, every
+    partitioning, every cluster size.
+
+    Selection rule: within each group, rank documents by
+    sha256(seed ⊕ id_cols) ascending (ties broken by id) and keep the first
+    `quota`. A group smaller than its quota is taken whole; groups absent
+    from `quotas` are dropped (mixing is an explicit recipe, not a default).
+
+    Scale shape: a naive per-group row_number puts each group on ONE
+    reducer — with 5 domains over 100 TB that is 5 straggler tasks. Instead
+    the rank runs in two phases, the same trick as `lww_dedup_salted`
+    (operators/dedup.py): phase 1 ranks within (group, salt) — n_salts
+    parallel reducers per group — keeping at most `quota` candidates per
+    salt; phase 2 ranks the ≤ n_salts×quota survivors per group. Output is
+    identical to the single global per-group rank (any row in the true
+    top-quota is in its salt's top-quota), which is exactly what the
+    contract oracle computes with one ROW_NUMBER in DuckDB.
+    """
+    if not quotas:
+        raise ValueError("corpus_mix requires a non-empty quota recipe")
+    ids = [F.col(c) for c in id_cols]
+    h = F.sha2(
+        F.concat_ws("\x1f", F.lit(str(seed)), *[c.cast("string") for c in ids]),
+        256,
+    )
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    d = (
+        df.withColumn("_cm_h", h)
+        .withColumn("_cm_q", quota_map[F.col(group_col).cast("string")])
+        .filter(F.col("_cm_q").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(*ids), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+        F.col("_cm_h"), *ids
+    )
+    d = d.withColumn("_cm_r", F.row_number().over(w1)).filter(
+        F.col("_cm_r") <= F.col("_cm_q")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col("_cm_h"), *ids)
+    d = d.withColumn("_cm_r", F.row_number().over(w2)).filter(
+        F.col("_cm_r") <= F.col("_cm_q")
+    )
+    return d.drop("_cm_h", "_cm_q", "_cm_r")

@@ -458,3 +458,56 @@ def test_repetition_signals_shuffle_free(spark, docs):
     plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "Join", "CartesianProduct"):
         assert op not in plan
+
+
+# ---------- corpus_mix (stratified deterministic sampling) --------------------
+
+
+def test_corpus_mix_exact_quotas_and_determinism(spark):
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.functions.text import corpus_mix
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", text=f"doc {i}") for i in range(90)
+    ]
+    df = spark.createDataFrame(rows)
+    quotas = {"s0": 10, "s1": 25, "s2": 1000}  # s2 quota > group size (30)
+    out = corpus_mix(df, quotas, group_col="source", id_cols=("doc_id",), seed="t")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"s0": 10, "s1": 25, "s2": 30}
+    # determinism: same result under different partitioning and salt count
+    out2 = corpus_mix(df.repartition(13), quotas, group_col="source",
+                      id_cols=("doc_id",), seed="t", n_salts=3)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # equality with the naive single-window per-group rank (the oracle rule)
+    h = F.sha2(F.concat_ws("\x1f", F.lit("t"), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    q = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    naive = (
+        df.withColumn("_q", q[F.col("source")])
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("_q"))
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in naive.collect()
+    )
+
+
+def test_corpus_mix_drops_unlisted_groups_and_rejects_empty_recipe(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from kafka_mongo_watcher_spark.functions.text import corpus_mix
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="a"), Row(doc_id=2, source="b")]
+    )
+    out = corpus_mix(df, {"a": 5}, group_col="source")
+    assert [r.source for r in out.collect()] == ["a"]
+    with pytest.raises(ValueError, match="recipe"):
+        corpus_mix(df, {})
