@@ -1506,6 +1506,51 @@ SELECT uid0, anc, d FROM walk
 """
 
 
+def _cdc_pipeline_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mongo aggregation expression language through the compiler
+    (operators/pipeline.py::_compile_value / _EXPR_OPS): $toUpper, $round /
+    $multiply / $toLong arithmetic, $mod, $switch grading, $concat +
+    $toString, $hour date part, a $match $expr predicate, and computed
+    $project fields — every operator a built-in Catalyst expression inside
+    whole-stage codegen. The oracle replays the same algebra in DuckDB
+    SQL."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(
+        ev,
+        '[{"$addFields": {'
+        '   "etype_u": {"$toUpper": "$event_type"},'
+        '   "cents": {"$toLong": {"$round": [{"$multiply": ["$value", 100]}, 0]}},'
+        '   "bucket3": {"$mod": ["$user_id", 3]},'
+        '   "grade": {"$switch": {"branches": ['
+        '      {"case": {"$gte": ["$value", 50]}, "then": "high"},'
+        '      {"case": {"$gte": ["$value", 10]}, "then": "mid"}],'
+        '      "default": "low"}},'
+        '   "tag": {"$concat": ["$event_type", "#", {"$toString": "$user_id"}]},'
+        '   "hr": {"$hour": "$ts"}'
+        ' }},'
+        ' {"$match": {"$expr": {"$eq": [{"$mod": ["$event_id", 7]}, 0]}}},'
+        ' {"$project": {"event_id": 1, "etype_u": 1, "cents": 1,'
+        '   "bucket3": 1, "grade": 1, "tag": 1, "hr": 1}}]',
+    )
+
+
+_CDC_PIPELINE_EXPR_ORACLE = """
+SELECT event_id,
+       upper(event_type) AS etype_u,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       user_id % 3 AS bucket3,
+       CASE WHEN value >= 50 THEN 'high'
+            WHEN value >= 10 THEN 'mid'
+            ELSE 'low' END AS grade,
+       event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+       CAST(hour(ts) AS INT) AS hr
+FROM events
+WHERE event_id % 7 = 0
+"""
+
+
 def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
     declarative hash aggregate with map-side partial aggregation."""
@@ -1692,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_lookup_unwind": _cdc_pipeline_lookup_unwind,
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_pipeline_sample": _cdc_pipeline_sample,
+        "cdc_pipeline_expressions": _cdc_pipeline_expressions,
         "cdc_pipeline_graph_lookup": _cdc_pipeline_graph_lookup,
         "cdc_pipeline_window_fields": _cdc_pipeline_window_fields,
         "cdc_pipeline_union_with": _cdc_pipeline_union_with,
@@ -1732,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_lookup_unwind": _CDC_PIPELINE_LOOKUP_ORACLE,
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_pipeline_sample": _CDC_PIPELINE_SAMPLE_ORACLE,
+        "cdc_pipeline_expressions": _CDC_PIPELINE_EXPR_ORACLE,
         "cdc_pipeline_graph_lookup": _CDC_PIPELINE_GRAPH_ORACLE,
         "cdc_pipeline_window_fields": _CDC_PIPELINE_WINDOW_ORACLE,
         "cdc_pipeline_union_with": _CDC_PIPELINE_UNION_ORACLE,

@@ -54,13 +54,24 @@ operators (`$ne $nin $not $nor`) DO match it (Mongo negations match
 documents where the field is missing) — so each negation wraps its operand
 null-safely instead of letting Spark's three-valued logic drop the row.
 
-`$addFields` values: JSON literals, `"$path"` field references, and nested
-documents (compiled to structs). Dotted *source* paths navigate structs
-(`F.col("a.b")`); a dotted *target* updates a field inside an existing
-struct column via `withField` (Mongo nests the same way). `%variables%` in
-the raw JSON are substituted before parsing, matching the reference's
-replace-then-parse order — a substituted value inside a JSON string stays a
-string, byte-for-byte like replace.go.
+Aggregation expressions (in `$addFields`/`$set` values, computed `$project`
+fields, `$group` accumulator arguments, and `$match`'s `$expr`): JSON
+literals, `"$path"` field references, nested documents (→ structs), and the
+operator language — arithmetic (`$add $subtract $multiply $divide $mod
+$abs $ceil $floor $round $trunc $sqrt $pow $exp $ln $log10`), strings
+(`$concat $toLower $toUpper $strLenCP $substrCP $split $trim $replaceAll
+$toString`), comparison (`$eq $ne $gt $gte $lt $lte $cmp`, 2-arg expression
+form), boolean (`$and $or $not` with Mongo truthiness), conditionals
+(`$cond $ifNull $switch`), type conversion (`$toInt $toLong $toDouble
+$toBool`), arrays (`$size $arrayElemAt $concatArrays $in $slice`), dates
+(`$year $month $dayOfMonth $hour $minute $second $dayOfWeek`), and
+`$literal`. Every operator compiles to a built-in Catalyst expression —
+whole-stage codegen, no Python per row. Dotted *source* paths navigate
+structs (`F.col("a.b")`); a dotted `$addFields` *target* updates a field
+inside an existing struct column via `withField` (Mongo nests the same
+way). `%variables%` in the raw JSON are substituted before parsing,
+matching the reference's replace-then-parse order — a substituted value
+inside a JSON string stays a string, byte-for-byte like replace.go.
 """
 
 from __future__ import annotations
@@ -126,7 +137,10 @@ def compile_match(doc: dict) -> Column:
     """One `$match` document → one Column predicate (AND of its entries)."""
     cond = None
     for key, spec in doc.items():
-        if key in ("$and", "$or", "$nor"):
+        if key == "$expr":
+            # aggregation expression as a predicate; Mongo truthiness
+            sub = _truthy(_compile_value(spec))
+        elif key in ("$and", "$or", "$nor"):
             subs = [compile_match(d) for d in spec]
             if key == "$and":
                 sub = subs[0]
@@ -148,22 +162,210 @@ def compile_match(doc: dict) -> Column:
 
 
 def _compile_value(spec) -> Column:
-    """An `$addFields` value expression → Column.
+    """A Mongo aggregation-expression → Column (used by `$addFields`,
+    computed `$project` fields, `$group` accumulator arguments, and
+    `$match`'s `$expr`).
 
-    `"$path"` is a field reference (Mongo expression semantics); any other
-    scalar is a literal; a list is an array literal (refs allowed inside);
-    a dict without $-operators is an embedded document → struct.
-    """
+    `"$path"` is a field reference; any other scalar is a literal; a list
+    is an array literal (refs allowed inside); a dict without $-operators
+    is an embedded document → struct; a single-key `{"$op": args}` dict is
+    an operator expression compiled via `_EXPR_OPS` — every operator maps
+    to a built-in Catalyst function, nothing runs per row in Python.
+    `{"$literal": v}` escapes a value from expression interpretation."""
     if isinstance(spec, str) and spec.startswith("$"):
         return _field(spec[1:])
     if isinstance(spec, list):
         return F.array(*[_compile_value(v) for v in spec])
     if isinstance(spec, dict):
-        bad = [k for k in spec if k.startswith("$")]
-        if bad:
-            raise ValueError(f"unsupported $addFields operator(s) {bad!r}")
-        return F.struct(*[_compile_value(v).alias(k) for k, v in spec.items()])
+        dollar = [k for k in spec if k.startswith("$")]
+        if not dollar:
+            return F.struct(*[_compile_value(v).alias(k) for k, v in spec.items()])
+        if len(spec) != 1:
+            raise ValueError(
+                f"expression must be a single-operator document, got {sorted(spec)!r}"
+            )
+        (op, arg), = spec.items()
+        if op == "$literal":
+            return F.lit(arg)
+        fn = _EXPR_OPS.get(op)
+        if fn is None:
+            raise ValueError(f"unsupported aggregation expression operator {op!r}")
+        return fn(arg)
     return F.lit(spec)
+
+
+def _nargs(op: str, arg, n: int) -> list[Column]:
+    vals = arg if isinstance(arg, list) else [arg]
+    if len(vals) != n:
+        raise ValueError(f"{op} takes exactly {n} argument(s), got {len(vals)}")
+    return [_compile_value(v) for v in vals]
+
+
+def _varargs(arg) -> list[Column]:
+    vals = arg if isinstance(arg, list) else [arg]
+    return [_compile_value(v) for v in vals]
+
+
+def _reduce(cols: list[Column], f) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = f(out, c)
+    return out
+
+
+def _expr_cond(arg) -> Column:
+    if isinstance(arg, dict):
+        branches = (arg["if"], arg["then"], arg["else"])
+    else:
+        if not (isinstance(arg, list) and len(arg) == 3):
+            raise ValueError("$cond takes {if,then,else} or a 3-element array")
+        branches = tuple(arg)
+    c, t, e = (_compile_value(v) for v in branches)
+    return F.when(_truthy(c), t).otherwise(e)
+
+
+def _expr_switch(arg) -> Column:
+    branches = arg.get("branches") or []
+    if not branches:
+        raise ValueError("$switch requires at least one branch")
+    out = None
+    for b in branches:
+        cond, then = _truthy(_compile_value(b["case"])), _compile_value(b["then"])
+        out = F.when(cond, then) if out is None else out.when(cond, then)
+    if "default" in arg:
+        out = out.otherwise(_compile_value(arg["default"]))
+    return out
+
+
+def _truthy(c: Column) -> Column:
+    # Mongo condition truthiness: null/missing/false/0 are falsy
+    return F.coalesce(c.cast("boolean"), F.lit(False))
+
+
+def _expr_substr_cp(arg) -> Column:
+    s, start, ln = _nargs("$substrCP", arg, 3)
+    return s.substr(start.cast("int") + 1, ln.cast("int"))  # Mongo is 0-based
+
+
+def _expr_split(arg) -> Column:
+    import re as _re
+
+    if not (isinstance(arg, list) and len(arg) == 2 and isinstance(arg[1], str)):
+        raise ValueError("$split takes [string-expr, literal delimiter]")
+    # Mongo splits on a LITERAL delimiter; F.split takes a regex → escape
+    return F.split(_compile_value(arg[0]), _re.escape(arg[1]))
+
+
+def _expr_trim(arg) -> Column:
+    s = _compile_value(arg["input"] if isinstance(arg, dict) else arg)
+    chars = arg.get("chars") if isinstance(arg, dict) else None
+    return F.btrim(s, _compile_value(chars)) if chars is not None else F.trim(s)
+
+
+def _expr_replace_all(arg) -> Column:
+    return F.replace(  # literal find/replace, same as Mongo (not regex)
+        _compile_value(arg["input"]),
+        _compile_value(arg["find"]),
+        _compile_value(arg["replacement"]),
+    )
+
+
+def _expr_array_elem_at(arg) -> Column:
+    if not (isinstance(arg, list) and len(arg) == 2):
+        raise ValueError("$arrayElemAt takes [array, idx]")
+    arr = _compile_value(arg[0])
+    idx = arg[1]
+    if isinstance(idx, int):  # Mongo 0-based; negative counts from the end
+        return F.element_at(arr, idx + 1 if idx >= 0 else idx)
+    i = _compile_value(idx).cast("int")
+    return F.element_at(arr, F.when(i >= 0, i + 1).otherwise(i))
+
+
+def _expr_slice(arg) -> Column:
+    if not (isinstance(arg, list) and len(arg) in (2, 3)):
+        raise ValueError("$slice takes [array, n] or [array, position, n]")
+    arr = _compile_value(arg[0])
+    if len(arg) == 2:
+        if not isinstance(arg[1], int):
+            raise ValueError("$slice n must be a literal integer")
+        n = arg[1]
+        # Mongo: n>0 → first n, n<0 → last n
+        return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, n, -n)
+    pos, n = arg[1], arg[2]
+    if not (isinstance(pos, int) and isinstance(n, int) and n > 0):
+        raise ValueError("$slice [array, position, n] needs literal ints, n > 0")
+    return F.slice(arr, pos + 1 if pos >= 0 else pos, n)
+
+
+_EXPR_OPS: dict[str, Callable[..., Column]] = {
+    # arithmetic — Spark's operators share Mongo's null-propagation, and
+    # int/int $divide is double in both engines
+    "$add": lambda a: _reduce(_varargs(a), lambda x, y: x + y),
+    "$subtract": lambda a: _reduce(_nargs("$subtract", a, 2), lambda x, y: x - y),
+    "$multiply": lambda a: _reduce(_varargs(a), lambda x, y: x * y),
+    "$divide": lambda a: _reduce(_nargs("$divide", a, 2), lambda x, y: x / y),
+    # Mongo $mod keeps the dividend's sign — Spark's % does too
+    "$mod": lambda a: _reduce(_nargs("$mod", a, 2), lambda x, y: x % y),
+    "$abs": lambda a: F.abs(_nargs("$abs", a, 1)[0]),
+    "$ceil": lambda a: F.ceil(_nargs("$ceil", a, 1)[0]),
+    "$floor": lambda a: F.floor(_nargs("$floor", a, 1)[0]),
+    "$round": lambda a: (
+        F.round(_compile_value(a[0]), int(a[1]))
+        if isinstance(a, list) and len(a) == 2
+        else F.round(_nargs("$round", a, 1)[0], 0)
+    ),
+    "$trunc": lambda a: (lambda c: F.when(c >= 0, F.floor(c)).otherwise(F.ceil(c)))(_nargs("$trunc", a, 1)[0]),
+    "$sqrt": lambda a: F.sqrt(_nargs("$sqrt", a, 1)[0]),
+    "$pow": lambda a: F.pow(*_nargs("$pow", a, 2)),
+    "$exp": lambda a: F.exp(_nargs("$exp", a, 1)[0]),
+    "$ln": lambda a: F.log(_nargs("$ln", a, 1)[0]),
+    "$log10": lambda a: F.log10(_nargs("$log10", a, 1)[0]),
+    # strings
+    "$concat": lambda a: F.concat(*_varargs(a)),
+    "$toLower": lambda a: F.lower(_nargs("$toLower", a, 1)[0]),
+    "$toUpper": lambda a: F.upper(_nargs("$toUpper", a, 1)[0]),
+    "$strLenCP": lambda a: F.length(_nargs("$strLenCP", a, 1)[0]),
+    "$substrCP": _expr_substr_cp,
+    "$split": _expr_split,
+    "$trim": _expr_trim,
+    "$replaceAll": _expr_replace_all,
+    "$toString": lambda a: _nargs("$toString", a, 1)[0].cast("string"),
+    # comparison (expression form: 2-element arrays, boolean result)
+    "$eq": lambda a: (lambda x, y: x.eqNullSafe(y))(*_nargs("$eq", a, 2)),
+    "$ne": lambda a: (lambda x, y: ~x.eqNullSafe(y))(*_nargs("$ne", a, 2)),
+    "$gt": lambda a: (lambda x, y: x > y)(*_nargs("$gt", a, 2)),
+    "$gte": lambda a: (lambda x, y: x >= y)(*_nargs("$gte", a, 2)),
+    "$lt": lambda a: (lambda x, y: x < y)(*_nargs("$lt", a, 2)),
+    "$lte": lambda a: (lambda x, y: x <= y)(*_nargs("$lte", a, 2)),
+    "$cmp": lambda a: (lambda x, y: F.when(x < y, -1).when(x > y, 1).otherwise(0))(*_nargs("$cmp", a, 2)),
+    # boolean (Mongo truthiness: null/0/false are falsy)
+    "$and": lambda a: _reduce([_truthy(c) for c in _varargs(a)], lambda x, y: x & y),
+    "$or": lambda a: _reduce([_truthy(c) for c in _varargs(a)], lambda x, y: x | y),
+    "$not": lambda a: ~_truthy(_nargs("$not", a, 1)[0]),
+    # conditionals
+    "$cond": _expr_cond,
+    "$ifNull": lambda a: F.coalesce(*_varargs(a)),
+    "$switch": _expr_switch,
+    # type conversion
+    "$toInt": lambda a: _nargs("$toInt", a, 1)[0].cast("int"),
+    "$toLong": lambda a: _nargs("$toLong", a, 1)[0].cast("long"),
+    "$toDouble": lambda a: _nargs("$toDouble", a, 1)[0].cast("double"),
+    "$toBool": lambda a: _nargs("$toBool", a, 1)[0].cast("boolean"),
+    # arrays
+    "$size": lambda a: F.size(_nargs("$size", a, 1)[0]),
+    "$arrayElemAt": _expr_array_elem_at,
+    "$concatArrays": lambda a: F.concat(*_varargs(a)),
+    "$in": lambda a: (lambda e, arr: F.array_contains(arr, e))(*_nargs("$in", a, 2)),
+    "$slice": _expr_slice,
+    # dates ($dayOfWeek: both engines say 1 = Sunday)
+    "$year": lambda a: F.year(_nargs("$year", a, 1)[0]),
+    "$month": lambda a: F.month(_nargs("$month", a, 1)[0]),
+    "$dayOfMonth": lambda a: F.dayofmonth(_nargs("$dayOfMonth", a, 1)[0]),
+    "$hour": lambda a: F.hour(_nargs("$hour", a, 1)[0]),
+    "$minute": lambda a: F.minute(_nargs("$minute", a, 1)[0]),
+    "$second": lambda a: F.second(_nargs("$second", a, 1)[0]),
+    "$dayOfWeek": lambda a: F.dayofweek(_nargs("$dayOfWeek", a, 1)[0]),
+}
 
 
 def _add_field(df: DataFrame, target: str, col: Column) -> DataFrame:
@@ -195,10 +397,15 @@ def _stage_unset(df: DataFrame, spec) -> DataFrame:
 def _stage_project(df: DataFrame, doc: dict) -> DataFrame:
     includes = [k for k, v in doc.items() if v in (1, True)]
     excludes = [k for k, v in doc.items() if v in (0, False)]
-    if includes and excludes:
+    computed = {k: v for k, v in doc.items()
+                if not (isinstance(v, bool) or v in (0, 1))}
+    if (includes or computed) and excludes:
         raise ValueError("$project cannot mix inclusion and exclusion")
-    if includes:
-        return df.select(*includes)
+    if includes or computed:
+        # Mongo: inclusion projection with computed fields (expressions)
+        cols = [F.col(k) for k in includes]
+        cols += [_compile_value(v).alias(k) for k, v in computed.items()]
+        return df.select(*cols)
     return df.drop(*excludes)
 
 

@@ -663,3 +663,128 @@ def test_out_materializes_and_is_terminal(spark, docs, tmp_path):
     assert [r.path for r in spark.read.parquet(target).collect()] == ["c.go"]
     with pytest.raises(ValueError, match="last"):
         apply_pipeline(docs, '[{"$out": "dst"}, {"$limit": 1}]', tables={"dst": target})
+
+
+# ---------- aggregation expression language ------------------------------------
+
+
+def _one(spark, expr_json, **cols):
+    """Evaluate one $addFields expression over a single-row frame.
+    None-valued columns get an int type (inference can't see through null)."""
+    import datetime
+    import json as _json
+
+    if cols:
+        types = {str: "string", int: "bigint", float: "double", bool: "boolean",
+                 list: "array<bigint>", datetime.datetime: "timestamp"}
+        ddl = ", ".join(
+            f"{k} {types.get(type(v), 'int') if v is not None else 'int'}"
+            for k, v in cols.items()
+        )
+        df = spark.createDataFrame([tuple(cols.values())], schema=ddl)
+    else:
+        df = spark.range(1)
+    out = apply_pipeline(
+        df, _json.dumps([{"$addFields": {"out": _json.loads(expr_json)}}])
+    )
+    return out.collect()[0]["out"]
+
+
+def test_expr_arithmetic_goldens(spark):
+    assert _one(spark, '{"$add": ["$a", "$b", 2]}', a=3, b=4) == 9
+    assert _one(spark, '{"$subtract": ["$a", "$b"]}', a=3, b=4) == -1
+    assert _one(spark, '{"$multiply": ["$a", "$b", -1]}', a=3, b=4) == -12
+    assert _one(spark, '{"$divide": ["$a", "$b"]}', a=3, b=4) == 0.75
+    assert _one(spark, '{"$mod": ["$a", "$b"]}', a=-7, b=4) == -3  # dividend sign
+    assert _one(spark, '{"$abs": "$a"}', a=-5) == 5
+    assert _one(spark, '{"$trunc": "$a"}', a=-2.7) == -2  # toward zero
+    assert _one(spark, '{"$round": ["$a", 1]}', a=2.347) == 2.3
+    assert _one(spark, '{"$pow": ["$a", 3]}', a=2) == 8
+    # null propagates, like Mongo
+    assert _one(spark, '{"$add": ["$a", 1]}', a=None) is None
+
+
+def test_expr_string_goldens(spark):
+    assert _one(spark, '{"$concat": ["$a", "-", "$b"]}', a="x", b="y") == "x-y"
+    assert _one(spark, '{"$toUpper": "$a"}', a="aB") == "AB"
+    assert _one(spark, '{"$strLenCP": "$a"}', a="héllo") == 5
+    assert _one(spark, '{"$substrCP": ["$a", 1, 3]}', a="abcdef") == "bcd"
+    assert _one(spark, '{"$split": ["$a", "."]}', a="a.b.c") == ["a", "b", "c"]
+    assert _one(spark, '{"$trim": {"input": "$a"}}', a="  x ") == "x"
+    assert (
+        _one(spark, '{"$trim": {"input": "$a", "chars": "*"}}', a="**x**") == "x"
+    )
+    assert (
+        _one(spark, '{"$replaceAll": {"input": "$a", "find": ".", "replacement": "_"}}',
+             a="a.b.c") == "a_b_c"
+    )
+    assert _one(spark, '{"$toString": "$a"}', a=42) == "42"
+    assert _one(spark, '{"$concat": ["$a", null]}', a="x") is None  # null propagates
+
+
+def test_expr_comparison_bool_cond(spark):
+    assert _one(spark, '{"$eq": ["$a", 3]}', a=3) is True
+    assert _one(spark, '{"$ne": ["$a", null]}', a=1) is True
+    assert _one(spark, '{"$cmp": ["$a", "$b"]}', a=2, b=9) == -1
+    # Mongo truthiness: null is falsy inside $and / $cond / $expr
+    assert _one(spark, '{"$and": ["$a", true]}', a=None) is False
+    assert _one(spark, '{"$or": ["$a", false]}', a=None) is False
+    assert _one(spark, '{"$not": "$a"}', a=None) is True
+    assert (
+        _one(spark, '{"$cond": {"if": "$a", "then": "T", "else": "F"}}', a=None)
+        == "F"
+    )
+    assert _one(spark, '{"$cond": ["$a", "T", "F"]}', a=True) == "T"
+    assert _one(spark, '{"$ifNull": ["$a", "$b", 7]}', a=None, b=None) == 7
+    got = _one(
+        spark,
+        '{"$switch": {"branches": ['
+        ' {"case": {"$gt": ["$a", 10]}, "then": "big"},'
+        ' {"case": {"$gt": ["$a", 5]}, "then": "mid"}], "default": "small"}}',
+        a=7,
+    )
+    assert got == "mid"
+
+
+def test_expr_arrays_and_dates(spark):
+    import datetime
+
+    assert _one(spark, '{"$size": "$a"}', a=[1, 2, 3]) == 3
+    assert _one(spark, '{"$arrayElemAt": ["$a", 0]}', a=[10, 20, 30]) == 10
+    assert _one(spark, '{"$arrayElemAt": ["$a", -1]}', a=[10, 20, 30]) == 30
+    assert _one(spark, '{"$slice": ["$a", 2]}', a=[1, 2, 3, 4]) == [1, 2]
+    assert _one(spark, '{"$slice": ["$a", -2]}', a=[1, 2, 3, 4]) == [3, 4]
+    assert _one(spark, '{"$slice": ["$a", 1, 2]}', a=[1, 2, 3, 4]) == [2, 3]
+    assert _one(spark, '{"$in": [2, "$a"]}', a=[1, 2]) is True
+    assert _one(spark, '{"$concatArrays": ["$a", [9]]}', a=[1]) == [1, 9]
+    ts = datetime.datetime(2026, 8, 19, 14, 45, 9)
+    assert _one(spark, '{"$year": "$t"}', t=ts) == 2026
+    assert _one(spark, '{"$dayOfWeek": "$t"}', t=ts) == 4  # Wed; 1 = Sunday
+    assert _one(spark, '{"$minute": "$t"}', t=ts) == 45
+
+
+def test_expr_literal_escape_and_unknown_op(spark):
+    assert _one(spark, '{"$literal": "$a"}', a="x") == "$a"
+    with pytest.raises(ValueError, match="unsupported aggregation expression"):
+        _one(spark, '{"$dateFromParts": {}}', a=1)
+
+
+def test_expr_in_match_group_and_project(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", x=1, y=10), Row(k="a", x=4, y=2), Row(k="b", x=5, y=5)]
+    )
+    # $expr predicate: x > y
+    out = apply_pipeline(df, '[{"$match": {"$expr": {"$gt": ["$x", "$y"]}}}]')
+    assert sorted((r.k, r.x) for r in out.collect()) == [("a", 4)]
+    # expression inside a $group accumulator
+    out = apply_pipeline(
+        df,
+        '[{"$group": {"_id": "$k", "s": {"$sum": {"$multiply": ["$x", "$y"]}}}}]',
+    )
+    assert {r._id: r.s for r in out.collect()} == {"a": 18, "b": 25}
+    # computed $project field alongside an included one
+    out = apply_pipeline(
+        df, '[{"$project": {"k": 1, "z": {"$add": ["$x", "$y"]}}}]'
+    )
+    assert out.columns == ["k", "z"]
+    assert sorted(r.z for r in out.collect()) == [6, 10, 11]
