@@ -697,7 +697,7 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # in-window null value stays null — coalesce would conflate them
             col = fn(target, abs(by), arg.get("default")).over(ordered)
         elif op in _AGGS:
-            target = _field(arg[1:]) if isinstance(arg, str) and str(arg).startswith("$") else F.lit(arg)
+            target = _compile_value(arg)  # "$ref", literal, or expression
             wdoc = (odoc.get("window") or {}).get("documents")
             if wdoc is not None:
                 frame = ordered.rowsBetween(_bound(wdoc[0], "lo"), _bound(wdoc[1], "hi"))

@@ -788,3 +788,16 @@ def test_expr_in_match_group_and_project(spark):
     )
     assert out.columns == ["k", "z"]
     assert sorted(r.z for r in out.collect()) == [6, 10, 11]
+
+
+def test_window_fields_accumulator_accepts_expressions(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", x=1, y=2), Row(k="a", x=3, y=4), Row(k="b", x=5, y=6)]
+    )
+    out = apply_pipeline(
+        df,
+        '[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"x": 1},'
+        ' "output": {"s": {"$sum": {"$multiply": ["$x", "$y"]}}}}}]',
+    )
+    got = {(r.k, r.x): r.s for r in out.collect()}
+    assert got == {("a", 1): 14, ("a", 3): 14, ("b", 5): 30}
