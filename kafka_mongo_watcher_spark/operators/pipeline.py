@@ -238,7 +238,12 @@ def _expr_switch(arg) -> Column:
 
 
 def _truthy(c: Column) -> Column:
-    # Mongo condition truthiness: null/missing/false/0 are falsy
+    # Mongo condition truthiness: null/missing/false/0 are falsy. Implemented
+    # as a boolean cast with null → false, which matches Mongo for boolean
+    # and numeric operands (the realistic $cond/$expr inputs). Known edge:
+    # Mongo treats ANY string (even "") as truthy; a string operand here
+    # casts to null → false unless it spells a boolean. Use comparisons,
+    # not bare strings, as conditions.
     return F.coalesce(c.cast("boolean"), F.lit(False))
 
 
