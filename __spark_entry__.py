@@ -1072,6 +1072,62 @@ SELECT doc_id, lang, source FROM r WHERE rn <= quota
 """
 
 
+def _text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing through the real operator (functions/text.py::
+    scrub_pii): deterministic synthetic emails / IPv4s / phone numbers are
+    appended to every 3rd/5th/7th document, then redacted to typed tokens
+    with per-kind counts riding the progressively-scrubbed text (an IPv4
+    must not double-count as a phone). Patterns avoid engine-specific
+    regex features, so the DuckDB oracle runs the SAME expressions — a
+    cross-engine regex-dialect check as much as a correctness one."""
+    from kafka_mongo_watcher_spark.functions.text import scrub_pii
+
+    _register(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit("contact u"), d.cast("string"), F.lit("@ex.org"))).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(F.lit("host 10.0."), (d % 200).cast("string"), F.lit(".7"))).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(F.lit("call +1 555 000 "), (1000 + d % 9000).cast("string"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(src).select("doc_id", "text", "n_email", "n_ipv4", "n_phone")
+
+
+_TEXT_SCRUB_PII_ORACLE = r"""
+WITH src AS (
+  SELECT doc_id,
+    concat_ws(' ', text,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'call +1 555 000 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+    ) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM src
+), s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_split_to_array(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) - 1 AS INT) AS n_ipv4,
+    regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', '<PHONE>', 'g') AS text,
+  n_email, n_ipv4,
+  CAST(len(regexp_split_to_array(t2, '\+?[0-9][0-9()\[\] .-]{7,}[0-9]')) - 1 AS INT) AS n_phone
+FROM s2
+"""
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters through the real operator
     (functions/text.py::repetition_signals): integer numerators and
@@ -1727,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_filter": _text_corpus_filter,
         "text_chunk": _text_chunk,
         "corpus_mix_stratified": _corpus_mix_stratified,
+        "text_scrub_pii": _text_scrub_pii,
         "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1768,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "text_corpus_filter": _TEXT_CORPUS_FILTER_ORACLE,
         "text_chunk": _TEXT_CHUNK_ORACLE,
         "corpus_mix_stratified": _CORPUS_MIX_ORACLE,
+        "text_scrub_pii": _TEXT_SCRUB_PII_ORACLE,
         "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),

@@ -287,3 +287,57 @@ def corpus_mix(
         F.col("_cm_r") <= F.col("_cm_q")
     )
     return d.drop("_cm_h", "_cm_q", "_cm_r")
+
+
+# PII scrubbing patterns — deliberately simple, anchored, and portable
+# across regex engines (Java in Spark, RE2 in DuckDB): no backrefs, no
+# lookaround, no \b-dependent unicode classes. Order matters: emails are
+# scrubbed before bare domains would be, IPs before phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\[\] .-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds=("email", "ipv4", "phone"),
+) -> DataFrame:
+    """PII redaction for pre-training corpora: replace emails, IPv4
+    addresses, and phone-number-like digit runs with typed placeholder
+    tokens, and count the redactions per kind so a downstream gate can drop
+    documents that are mostly PII.
+
+    Pure Catalyst (`regexp_replace` / a size-of-split count per kind) — one
+    shuffle-free projection inside whole-stage codegen, no Python per row.
+    The patterns avoid engine-specific regex features on purpose, so the
+    DuckDB contract oracle runs the very same expressions. Recall is
+    deliberately conservative (precision over recall: a placeholder in
+    clean text costs more than a rare missed obfuscated email — the
+    standard corpus-scrubbing trade-off); swap PII_PATTERNS for stricter
+    models where the corpus warrants it.
+
+    Output: `out_col` (default overwrite of `text_col`) plus one
+    `n_<kind>` int column per requested kind.
+    """
+    out_col = out_col or text_col
+    pats = [(k, p, t) for (k, p, t) in PII_PATTERNS if k in kinds]
+    if not pats:
+        raise ValueError(f"no known PII kinds in {kinds!r}")
+    # counts ride the progressively-scrubbed text, not the raw input: an
+    # IPv4 also matches the phone-shaped pattern, so counting every kind on
+    # the raw text would double-count what only ONE replacement consumes —
+    # each n_<kind> is exactly the number of <TOKEN>s that kind inserted.
+    # occurrences = parts-after-split − 1 (null text → null counts).
+    running = F.col(text_col)
+    counts = []
+    for kind, pat, token in pats:
+        counts.append(
+            (F.size(F.split(running, pat, -1)) - F.lit(1)).alias(f"n_{kind}")
+        )
+        running = F.regexp_replace(running, pat, token)
+    return df.select(*df.columns, *counts).withColumn(out_col, running)

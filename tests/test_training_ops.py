@@ -511,3 +511,47 @@ def test_corpus_mix_drops_unlisted_groups_and_rejects_empty_recipe(spark):
     assert [r.source for r in out.collect()] == ["a"]
     with pytest.raises(ValueError, match="recipe"):
         corpus_mix(df, {})
+
+
+# ---------- scrub_pii ----------------------------------------------------------
+
+
+def test_scrub_pii_goldens(spark):
+    from pyspark.sql import Row
+
+    from kafka_mongo_watcher_spark.functions.text import scrub_pii
+
+    rows = [
+        Row(doc_id=0, text="mail me at a.b+c@ex-1.co or root@ex.org thanks"),
+        Row(doc_id=1, text="server 192.168.0.100 and 10.0.0.1 up"),
+        Row(doc_id=2, text="call +1 (555) 123-4567 now"),
+        Row(doc_id=3, text="clean text, nothing to scrub"),
+        Row(doc_id=4, text=None),
+    ]
+    out = {r.doc_id: r for r in scrub_pii(spark.createDataFrame(rows)).collect()}
+    assert out[0].text == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[0].n_email == 2 and out[0].n_ipv4 == 0 and out[0].n_phone == 0
+    assert out[1].text == "server <IP> and <IP> up"
+    # the IP consumed by <IP> must NOT also count as a phone
+    assert out[1].n_ipv4 == 2 and out[1].n_phone == 0
+    assert out[2].text == "call <PHONE> now"
+    assert out[2].n_phone == 1
+    assert out[3].text == rows[3].text
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[4].text is None and out[4].n_email is None
+
+
+def test_scrub_pii_custom_out_col_and_kinds(spark):
+    from pyspark.sql import Row
+
+    from kafka_mongo_watcher_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([Row(doc_id=0, text="x@y.io at 10.0.0.1")])
+    out = scrub_pii(df, out_col="clean", kinds=("email",)).collect()[0]
+    assert out.text == "x@y.io at 10.0.0.1"  # original kept
+    assert out.clean == "<EMAIL> at 10.0.0.1"  # only email kind requested
+    assert out.n_email == 1 and not hasattr(out, "n_ipv4")
+    import pytest
+
+    with pytest.raises(ValueError, match="PII kinds"):
+        scrub_pii(df, kinds=("ssn",))
