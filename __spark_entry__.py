@@ -1072,6 +1072,45 @@ SELECT doc_id, lang, source FROM r WHERE rn <= quota
 """
 
 
+def _dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the real operator
+    (operators/dedupe_docs.py::decontaminate): every 50th document plays
+    the benchmark, the rest the training corpus; corpus docs sharing any
+    word 3-gram with the benchmark are flagged with the count of shared
+    grams. Benchmark side collapses to a distinct md5-digest set before the
+    equi join (broadcastable — O(benchmark) regardless of corpus size); the
+    DuckDB oracle replays the identical shingling + join."""
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import decontaminate
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+_DEDUP_DECONTAMINATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS INT) AS n_contaminated
+  FROM grams c JOIN bench b USING (g)
+  WHERE c.doc_id % 50 <> 0
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+"""
+
+
 def _text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing through the real operator (functions/text.py::
     scrub_pii): deterministic synthetic emails / IPv4s / phone numbers are
@@ -1784,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": _text_chunk,
         "corpus_mix_stratified": _corpus_mix_stratified,
         "text_scrub_pii": _text_scrub_pii,
+        "dedup_decontaminate": _dedup_decontaminate,
         "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1826,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk": _TEXT_CHUNK_ORACLE,
         "corpus_mix_stratified": _CORPUS_MIX_ORACLE,
         "text_scrub_pii": _TEXT_SCRUB_PII_ORACLE,
+        "dedup_decontaminate": _DEDUP_DECONTAMINATE_ORACLE,
         "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),

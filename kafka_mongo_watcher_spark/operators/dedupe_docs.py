@@ -432,3 +432,72 @@ def keep_canonical(
     else:
         losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def _word_ngrams(text_col, n: int):
+    """Distinct word n-grams, empty array for docs shorter than n tokens
+    (sequence() cannot count down)."""
+    toks = F.split(text_col, " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination — the pre-training step that keeps eval
+    sets honest: flag every corpus document sharing at least one word
+    n-gram with any benchmark document (the GPT-3 appendix-C /
+    Gopher-style 13-gram rule; pass a smaller `n` for looser matching).
+
+    Scale shape (100 TB corpus vs ~MB-GB benchmark):
+    - the benchmark side collapses to a DISTINCT n-gram-digest set BEFORE
+      the join — its size is O(benchmark), independent of corpus size, so
+      AQE turns the join into a broadcast in the common case;
+    - the corpus explodes to (doc_id, digest) and equi-joins on the digest
+      — one shuffle of corpus grams at most, no pairwise anything;
+    - grams are md5-digested before the join: a 13-gram averages ~80 bytes,
+      the digest 16 — the join key shrinks 5x and the DuckDB contract
+      oracle can compute the identical md5. (At petabyte scale swap in
+      xxhash64 for an 8-byte key; same plan shape.)
+
+    Returns every corpus row's id with `n_contaminated` (distinct shared
+    n-grams, 0 for clean docs) and a `contaminated` flag — callers drop or
+    quarantine flagged docs.
+    """
+    bt = bench_text_col or text_col
+    bench = (
+        benchmark.select(F.explode(_word_ngrams(F.col(bt), n)).alias("_g"))
+        .select(F.md5(F.col("_g")).alias("_d"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(id_col, F.md5(F.col("_g")).alias("_d"))
+    hits = (
+        corp.join(bench, "_d")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("int").alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -555,3 +555,44 @@ def test_scrub_pii_custom_out_col_and_kinds(spark):
 
     with pytest.raises(ValueError, match="PII kinds"):
         scrub_pii(df, kinds=("ssn",))
+
+
+# ---------- decontaminate ------------------------------------------------------
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from pyspark.sql import Row
+
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import decontaminate
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "quick brown fox" and "brown fox jumps" (n=3)
+            Row(doc_id=1, text="a very quick brown fox jumps away"),
+            Row(doc_id=2, text="completely unrelated words here today"),
+            Row(doc_id=3, text="too short"),  # < n tokens -> zero grams
+        ]
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert out[1].contaminated and out[1].n_contaminated == 2
+    assert not out[2].contaminated and out[2].n_contaminated == 0
+    assert not out[3].contaminated and out[3].n_contaminated == 0
+    assert len(out) == 3  # every corpus doc present, clean ones included
+
+
+def test_decontaminate_plan_is_broadcast_or_hash_join(spark):
+    """No cartesian/BNLJ anywhere: the benchmark digest set equi-joins the
+    exploded corpus grams."""
+    from pyspark.sql import Row
+
+    from kafka_mongo_watcher_spark.operators.dedupe_docs import decontaminate
+
+    bench = spark.createDataFrame([Row(doc_id=0, text="a b c d e")])
+    corpus = spark.createDataFrame([Row(doc_id=i, text="a b c x y z") for i in range(20)])
+    out = decontaminate(corpus, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
