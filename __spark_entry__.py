@@ -71,6 +71,55 @@ def _cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_suppressed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful stale-event suppressor in its full streaming lifecycle
+    (streaming/stateful.py::suppress_stale via
+    run_replay_stream(suppress_stale=True)): the derived change log is
+    written as 3 ordered chunks PLUS a 4th chunk that re-delivers the first
+    chunk verbatim (an at-least-once upstream replay). Suppression drops
+    the re-delivered rows before the merge; the final table state must be
+    byte-identical to the plain single-batch apply — so this query shares
+    `cdc_apply_final_state`'s DuckDB oracle, which never sees the
+    re-delivery at all."""
+    import os
+
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+    from kafka_mongo_watcher_spark.streaming.run import run_replay_stream
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    lo, hi = log.agg(F.min("commit_seq"), F.max("commit_seq")).first()
+    step = (hi - lo + 1 + 2) // 3
+    root = tempfile.mkdtemp(prefix="kmw_suppress_")
+    log_dir = os.path.join(root, "log")
+    for c in range(3):
+        a, b = lo + c * step, min(lo + (c + 1) * step, hi + 1)
+        chunk = log.filter((F.col("commit_seq") >= a) & (F.col("commit_seq") < b))
+        chunk.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"chunk_{c:04d}")
+        )
+    # chunk 4 re-delivers chunk 0 — every row is stale by arrival time
+    log.filter(F.col("commit_seq") < lo + step).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(log_dir, "chunk_9999"))
+    LakeTable.create(spark, os.path.join(root, "t"), n_buckets=16)
+    run_replay_stream(
+        spark,
+        log_dir=log_dir,
+        table_path=os.path.join(root, "t"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        suppress_stale=True,
+    )
+    return (
+        LakeTable(spark, os.path.join(root, "t"))
+        .snapshot()
+        .select(
+            "repo", "path", "commit", "lang", "content_sha256",
+            F.col("commit_seq").alias("commit_seq"),
+        )
+    )
+
+
 # DuckDB oracle for the same final state: LWW per key, delete wins removal.
 # Content normalization reduces to appending one '\n' here because props
 # strings contain no CR/LF/trailing spaces (see functions/content.py).
@@ -1813,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
         "cdc_schema_evolution": _cdc_schema_evolution,
+        "cdc_suppressed_replay": _cdc_suppressed_replay,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
         "media_decode_real": _media_decode_real,
@@ -1856,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
         "cdc_schema_evolution": _CDC_EVOLUTION_ORACLE,
+        "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
         "media_decode_real": _MEDIA_DECODE_REAL_ORACLE,
