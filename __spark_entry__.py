@@ -953,6 +953,55 @@ FROM events GROUP BY 1
 """
 
 
+def _cdc_pipeline_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`$bucketAuto` through the pipeline compiler (operators/pipeline.py::
+    _stage_bucket_auto): equal-count buckets with data-derived {min,max}
+    boundaries. Bucket assignment is tie-safe integer arithmetic over the
+    DISTINCT values — `(count_of_smaller * N) DIV total` — so the DuckDB
+    twin reproduces it bit-exactly; accumulators are count/min/max (no
+    float-order-dependent sums)."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    _register(spark, sf_dir, "events")
+    return apply_pipeline(
+        spark.table("events"),
+        '[{"$bucketAuto": {"groupBy": "$value", "buckets": 7,'
+        ' "output": {"count": {"$sum": 1},'
+        ' "min_value": {"$min": "$value"}, "max_value": {"$max": "$value"}}}}]',
+    ).select(
+        F.col("_id.min").alias("bucket_min"),
+        F.col("_id.max").alias("bucket_max"),
+        "count",
+        "min_value",
+        "max_value",
+    )
+
+
+_CDC_PIPELINE_BUCKET_AUTO_ORACLE = """
+WITH counts AS (
+  SELECT value AS v, COUNT(*) AS cnt FROM events GROUP BY 1
+), cum AS (
+  SELECT v,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_cnt,
+         SUM(cnt) OVER () AS total
+  FROM counts
+), m AS (
+  SELECT v, LEAST((before_cnt * 7) // total, 6) AS b FROM cum
+), bext AS (
+  SELECT b, MIN(v) AS bmin, MAX(v) AS bmax_in FROM m GROUP BY b
+), bounds AS (
+  SELECT b, bmin,
+         COALESCE(LEAD(bmin) OVER (ORDER BY b), bmax_in) AS bmax
+  FROM bext
+)
+SELECT bounds.bmin AS bucket_min, bounds.bmax AS bucket_max,
+       COUNT(*) AS count, MIN(e.value) AS min_value, MAX(e.value) AS max_value
+FROM events e JOIN m ON e.value = m.v JOIN bounds ON m.b = bounds.b
+GROUP BY 1, 2
+"""
+
+
 def _cdc_dlq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter quarantine through the real operator (operators/
     envelope.py::quarantine_malformed — transformer.go:19-23 skip semantics
@@ -1876,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": _dedup_decontaminate,
         "cdc_dlq_rejects": _cdc_dlq_rejects,
         "cdc_pipeline_bucket": _cdc_pipeline_bucket,
+        "cdc_pipeline_bucket_auto": _cdc_pipeline_bucket_auto,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_canonical": _dedup_keep_canonical,
         "cdc_message_envelope": _cdc_message_envelope,
@@ -1920,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _DEDUP_DECONTAMINATE_ORACLE,
         "cdc_dlq_rejects": _CDC_DLQ_ORACLE,
         "cdc_pipeline_bucket": _CDC_PIPELINE_BUCKET_ORACLE,
+        "cdc_pipeline_bucket_auto": _CDC_PIPELINE_BUCKET_AUTO_ORACLE,
         "dedup_minhash_lsh": _mh_lsh_banded_oracle(),
         "dedup_keep_canonical": _keep_canonical_oracle(),
         "cdc_message_envelope": _CDC_MESSAGE_ORACLE,

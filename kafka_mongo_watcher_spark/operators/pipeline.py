@@ -27,7 +27,9 @@ without a preceding `$sort`), `$sort`, `$skip`, `$limit`, `$count`,
 `$unwind` (posexplode; preserveNullAndEmptyArrays / includeArrayIndex as
 in Mongo), `$lookup` (equality form; foreign collections supplied as
 DataFrames via `tables=`), `$replaceRoot` / `$replaceWith` (struct
-promotion), `$sortByCount`, `$bucket`, `$facet`, `$unionWith` (unionByName,
+promotion), `$sortByCount`, `$bucket`, `$bucketAuto` (equal-count buckets with
+data-derived {min,max} boundaries; tie-safe integer-arithmetic bucket
+assignment, no granularity), `$facet`, `$unionWith` (unionByName,
 missing columns allowed), `$setWindowFields` (window accumulators with
 ROWS frames, $rank/$denseRank/$documentNumber, $shift → lead/lag),
 `$densify` (numeric-step grid fill via sequence+explode), `$fill`
@@ -606,6 +608,105 @@ def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(bid.alias("_id")).agg(*aggs)
 
 
+def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo `$bucketAuto`: split documents into `buckets` groups of
+    approximately equal COUNT by the groupBy value, boundaries derived from
+    the data itself.
+
+    Deterministic, tie-safe semantics (mirrored bit-exactly by the DuckDB
+    oracle): equal groupBy values always share a bucket — the bucket of a
+    distinct value v is `(count_of_smaller_values * N) DIV total`, integer
+    arithmetic over the distinct values in ascending order (nulls first, as
+    BSON sorts null below numbers). `_id` is the struct {min, max}: min =
+    the bucket's lowest value, max = the NEXT bucket's lowest value
+    (half-open), except the last bucket whose max is the global maximum,
+    inclusive — Mongo's boundary convention. Fewer distinct values than
+    `buckets` yields fewer buckets, as in Mongo. `granularity` (the
+    preferred-number rounding series) is unsupported and raises.
+
+    Scale shape: a map-side-combinable hash aggregate over DISTINCT values;
+    ONE single-partition window over those distinct values only (bounded by
+    cardinality, never row count — Mongo's own $bucketAuto pays a full
+    SORT of every document for the same order statistic); the value→bucket
+    map equi-joins back onto the rows (AQE picks broadcast when the
+    distinct set is small); then the usual accumulator hash aggregate and a
+    broadcast of the ≤N boundary rows."""
+    from pyspark.sql import Window
+
+    gb = spec.get("groupBy")
+    n = spec.get("buckets")
+    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+        raise ValueError(f"$bucketAuto requires a positive integer 'buckets', got {n!r}")
+    if "granularity" in spec:
+        raise ValueError("$bucketAuto granularity is not supported")
+    v = _compile_value(gb)
+
+    counts = df.select(v.alias("_ba_val")).groupBy("_ba_val").agg(
+        F.count(F.lit(1)).alias("_ba_cnt")
+    )
+    w_cum = Window.orderBy(F.asc_nulls_first("_ba_val")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.asc_nulls_first("_ba_val")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # two-step: window columns first, then the integer bucket formula
+    mapped = (
+        counts.select(
+            "_ba_val",
+            F.coalesce(F.sum("_ba_cnt").over(w_cum), F.lit(0)).alias("_ba_before"),
+            F.sum("_ba_cnt").over(w_all).alias("_ba_total"),
+        )
+        .select(
+            "_ba_val",
+            F.expr(
+                f"CAST(least((_ba_before * {n}) DIV _ba_total, {n - 1}) AS INT)"
+            ).alias("_ba_bucket"),
+        )
+    )
+
+    w_b = Window.orderBy("_ba_bucket")
+    bounds = (
+        mapped.groupBy("_ba_bucket")
+        .agg(F.min("_ba_val").alias("min"), F.max("_ba_val").alias("max"))
+        .select(
+            "_ba_bucket",
+            F.col("min"),
+            # half-open upper bound = next bucket's min; last bucket closes
+            # at its own (= the global) max, inclusive
+            F.coalesce(F.lead("min").over(w_b), F.col("max")).alias("max"),
+        )
+    )
+
+    output = spec.get("output") or {"count": {"$sum": 1}}
+    aggs = []
+    for name, acc in output.items():
+        if not (isinstance(acc, dict) and len(acc) == 1):
+            raise ValueError(f"$bucketAuto accumulator {name!r} must be a single-op doc")
+        (op, val), = acc.items()
+        if op not in _ACCUM:
+            raise ValueError(f"unsupported $bucketAuto accumulator {op!r}")
+        aggs.append(_ACCUM[op](val).alias(name))
+
+    rows = (
+        df.withColumn("_ba_val", v)
+        .join(
+            mapped.withColumnRenamed("_ba_val", "_ba_val_m"),
+            F.col("_ba_val").eqNullSafe(F.col("_ba_val_m")),
+            "inner",
+        )
+        .drop("_ba_val", "_ba_val_m")
+    )
+    agged = rows.groupBy("_ba_bucket").agg(*aggs)
+    # struct field names equal their source column names (min/max) — a
+    # differing alias trips Spark 4.1 nested-column pruning (key-not-found)
+    return (
+        agged.join(F.broadcast(bounds), "_ba_bucket")
+        .select(F.struct("min", "max").alias("_id"), *output.keys())
+        .orderBy("_id.min")
+    )
+
+
 def _stage_facet(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     """Mongo `$facet`: run N sub-pipelines over the SAME input, emit ONE
     document whose fields are each facet's full result as an array.
@@ -1056,6 +1157,7 @@ _STAGES = {
     "$replaceWith": _stage_replace_root,
     "$sortByCount": _stage_sort_by_count,
     "$bucket": _stage_bucket,
+    "$bucketAuto": _stage_bucket_auto,
     "$setWindowFields": _stage_set_window_fields,
     "$densify": _stage_densify,
     "$fill": _stage_fill,

@@ -336,6 +336,52 @@ def test_bucket_rejects_unsorted_boundaries(docs):
         apply_pipeline(docs, '[{"$bucket": {"groupBy": "$n", "boundaries": [5, 0]}}]')
 
 
+def test_bucket_auto_equal_counts_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 1, 2, 3, 4, 5, 5, 6, 7, 8, 9])],
+        "id int, x double",
+    )
+    out = apply_pipeline(
+        df,
+        '[{"$bucketAuto": {"groupBy": "$x", "buckets": 4,'
+        ' "output": {"count": {"$sum": 1}, "avg_x": {"$avg": "$x"}}}}]',
+    )
+    rows = out.collect()
+    # 12 docs -> 4 buckets of exactly 3; ties (three 1.0s) stay together;
+    # each _id.max is the NEXT bucket's min except the last (global max)
+    assert [(r["_id"]["min"], r["_id"]["max"], r["count"]) for r in rows] == [
+        (1.0, 2.0, 3), (2.0, 5.0, 3), (5.0, 7.0, 3), (7.0, 9.0, 3)
+    ]
+
+
+def test_bucket_auto_tie_group_never_splits(spark):
+    # 9 copies of one value + 3 distinct: the tie block lands in ONE bucket
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5] * 9 + [1, 2, 3])], "id int, x int"
+    )
+    out = apply_pipeline(df, '[{"$bucketAuto": {"groupBy": "$x", "buckets": 4}}]')
+    got = {(r["_id"]["min"], r["_id"]["max"]): r["count"] for r in out.collect()}
+    assert got[(5, 5)] == 9  # all ties together, in the last bucket
+    assert sum(got.values()) == 12
+
+
+def test_bucket_auto_fewer_distinct_than_buckets(spark):
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "id int, x int")
+    out = apply_pipeline(df, '[{"$bucketAuto": {"groupBy": "$x", "buckets": 5}}]')
+    got = [(r["_id"]["min"], r["_id"]["max"], r["count"]) for r in out.collect()]
+    assert got == [(0, 1, 5), (1, 1, 5)]  # as many buckets as distinct values
+
+
+def test_bucket_auto_rejects_granularity_and_bad_buckets(docs):
+    with pytest.raises(ValueError, match="granularity"):
+        apply_pipeline(
+            docs,
+            '[{"$bucketAuto": {"groupBy": "$n", "buckets": 2, "granularity": "R5"}}]',
+        )
+    with pytest.raises(ValueError, match="positive integer"):
+        apply_pipeline(docs, '[{"$bucketAuto": {"groupBy": "$n", "buckets": 0}}]')
+
+
 def test_facet_runs_subpipelines_over_same_input(docs):
     out = apply_pipeline(
         docs,
