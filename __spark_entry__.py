@@ -1744,6 +1744,78 @@ WHERE event_id % 7 = 0
 """
 
 
+def _cdc_pipeline_expr_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable binding + array higher-order functions through the pipeline
+    compiler (operators/pipeline.py): $let / $map / $filter / $reduce over
+    `$$`-variables compile to Catalyst lambda expressions
+    (transform/filter/aggregate) — whole-stage-codegen JVM loops over array
+    columns, zero Python. The oracle replays the same algebra with DuckDB
+    list lambdas."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return apply_pipeline(
+        docs,
+        '[{"$project": {'
+        '  "doc_id": 1,'
+        '  "n_long": {"$toLong": {"$size": {"$filter": {'
+        '     "input": {"$split": ["$text", " "]}, "as": "w",'
+        '     "cond": {"$gt": [{"$strLenCP": "$$w"}, 4]}}}}},'
+        '  "total_chars": {"$reduce": {'
+        '     "input": {"$map": {"input": {"$split": ["$text", " "]}, "as": "w",'
+        '               "in": {"$toLong": {"$strLenCP": "$$w"}}}},'
+        '     "initialValue": 0,'
+        '     "in": {"$add": ["$$value", "$$this"]}}},'
+        '  "caps3": {"$let": {"vars": {"t3": {"$slice": [{"$split": ["$text", " "]}, 3]}},'
+        '     "in": {"$map": {"input": "$$t3", "in": {"$toUpper": "$$this"}}}}}'
+        ' }}]',
+    )
+
+
+_CDC_PIPELINE_EXPR_HOF_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS BIGINT) AS n_long,
+       CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+                                             w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS total_chars,
+       list_transform(string_split(text, ' ')[1:3], w -> upper(w)) AS caps3
+FROM documents
+"""
+
+
+def _cdc_pipeline_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date expression family: $dateTrunc / $dateAdd / $dateDiff (Mongo's
+    boundary-crossing count semantics) / $dateToString / $toDate, all
+    Catalyst built-ins (operators/pipeline.py)."""
+    from kafka_mongo_watcher_spark.operators.pipeline import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_pipeline(
+        ev,
+        '[{"$project": {'
+        '  "event_id": 1,'
+        '  "day": {"$dateToString": {"date": "$ts", "format": "%Y-%m-%d"}},'
+        '  "month0": {"$dateTrunc": {"date": "$ts", "unit": "month"}},'
+        '  "plus2h": {"$dateAdd": {"startDate": "$ts", "unit": "hour", "amount": 2}},'
+        '  "days_since": {"$dateDiff": {'
+        '     "startDate": {"$toDate": {"$literal": "2026-01-01 00:00:00"}},'
+        '     "endDate": "$ts", "unit": "day"}}'
+        ' }},'
+        ' {"$match": {"$expr": {"$eq": [{"$mod": ["$event_id", 13]}, 0]}}}]',
+    )
+
+
+_CDC_PIPELINE_DATES_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month0,
+       ts + INTERVAL 2 HOUR AS plus2h,
+       CAST(date_diff('day', date_trunc('day', TIMESTAMP '2026-01-01 00:00:00'),
+                      date_trunc('day', ts)) AS BIGINT) AS days_since
+FROM events
+WHERE event_id % 13 = 0
+"""
+
+
 def _cdc_pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`$sortByCount` — Mongo's group+count+sort-desc desugaring — as a
     declarative hash aggregate with map-side partial aggregation."""
@@ -1935,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_sort_by_count": _cdc_pipeline_sort_by_count,
         "cdc_pipeline_sample": _cdc_pipeline_sample,
         "cdc_pipeline_expressions": _cdc_pipeline_expressions,
+        "cdc_pipeline_expr_hof": _cdc_pipeline_expr_hof,
+        "cdc_pipeline_dates": _cdc_pipeline_dates,
         "cdc_pipeline_graph_lookup": _cdc_pipeline_graph_lookup,
         "cdc_pipeline_window_fields": _cdc_pipeline_window_fields,
         "cdc_pipeline_union_with": _cdc_pipeline_union_with,
@@ -1980,6 +2054,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_sort_by_count": _CDC_PIPELINE_SORTBYCOUNT_ORACLE,
         "cdc_pipeline_sample": _CDC_PIPELINE_SAMPLE_ORACLE,
         "cdc_pipeline_expressions": _CDC_PIPELINE_EXPR_ORACLE,
+        "cdc_pipeline_expr_hof": _CDC_PIPELINE_EXPR_HOF_ORACLE,
+        "cdc_pipeline_dates": _CDC_PIPELINE_DATES_ORACLE,
         "cdc_pipeline_graph_lookup": _CDC_PIPELINE_GRAPH_ORACLE,
         "cdc_pipeline_window_fields": _CDC_PIPELINE_WINDOW_ORACLE,
         "cdc_pipeline_union_with": _CDC_PIPELINE_UNION_ORACLE,

@@ -174,6 +174,8 @@ def _compile_value(spec) -> Column:
     an operator expression compiled via `_EXPR_OPS` — every operator maps
     to a built-in Catalyst function, nothing runs per row in Python.
     `{"$literal": v}` escapes a value from expression interpretation."""
+    if isinstance(spec, str) and spec.startswith("$$"):
+        return _lambda_var(spec)
     if isinstance(spec, str) and spec.startswith("$"):
         return _field(spec[1:])
     if isinstance(spec, list):
@@ -194,6 +196,167 @@ def _compile_value(spec) -> Column:
             raise ValueError(f"unsupported aggregation expression operator {op!r}")
         return fn(arg)
     return F.lit(spec)
+
+
+# Lambda-variable scopes for `$let` / `$map` / `$filter` / `$reduce`
+# (`"$$x"` references). Compilation is driver-side and single-threaded, and
+# PySpark invokes higher-order-function lambdas synchronously while BUILDING
+# the expression tree, so a plain stack is correct: push a scope, compile
+# the body (which resolves `$$name` against the innermost scope holding it),
+# pop. Nothing here runs per row — the bound Column is Catalyst's own
+# lambda variable, and the whole expression stays JVM-side.
+_VAR_ENV: list[dict[str, Column]] = []
+
+
+def _lambda_var(ref: str) -> Column:
+    """`"$$name"` or `"$$name.sub.field"` → the bound lambda variable,
+    optionally descending into struct fields."""
+    parts = ref[2:].split(".")
+    name, fields = parts[0], parts[1:]
+    for scope in reversed(_VAR_ENV):
+        if name in scope:
+            col = scope[name]
+            for f in fields:
+                col = col.getField(f)
+            return col
+    raise ValueError(
+        f"unbound variable {ref!r} (no enclosing $let/$map/$filter/$reduce "
+        f"binds {name!r})"
+    )
+
+
+def _in_scope(bindings: dict[str, Column], spec) -> Column:
+    _VAR_ENV.append(bindings)
+    try:
+        return _compile_value(spec)
+    finally:
+        _VAR_ENV.pop()
+
+
+def _expr_let(arg) -> Column:
+    if not (isinstance(arg, dict) and "in" in arg):
+        raise ValueError("$let takes {vars, in}")
+    bound = {k: _compile_value(v) for k, v in (arg.get("vars") or {}).items()}
+    return _in_scope(bound, arg["in"])
+
+
+def _expr_map(arg) -> Column:
+    if not (isinstance(arg, dict) and "input" in arg and "in" in arg):
+        raise ValueError("$map takes {input, as?, in}")
+    as_ = str(arg.get("as", "this"))
+    return F.transform(
+        _compile_value(arg["input"]),
+        lambda x: _in_scope({as_: x}, arg["in"]),
+    )
+
+
+def _expr_filter(arg) -> Column:
+    if not (isinstance(arg, dict) and "input" in arg and "cond" in arg):
+        raise ValueError("$filter takes {input, as?, cond, limit?}")
+    as_ = str(arg.get("as", "this"))
+    out = F.filter(
+        _compile_value(arg["input"]),
+        lambda x: _truthy(_in_scope({as_: x}, arg["cond"])),
+    )
+    if "limit" in arg:
+        out = F.slice(out, 1, int(arg["limit"]))
+    return out
+
+
+def _expr_reduce(arg) -> Column:
+    """`$reduce` → F.aggregate: `$$value` is the accumulator, `$$this` the
+    element. Typed-column caveat (vs Mongo's dynamic docs): the `in`
+    expression must keep the accumulator's type equal to `initialValue`'s
+    — Catalyst checks it at plan time."""
+    if not (isinstance(arg, dict) and "input" in arg and "in" in arg):
+        raise ValueError("$reduce takes {input, initialValue, in}")
+    init = arg.get("initialValue")
+    if isinstance(init, int) and not isinstance(init, bool):
+        # a bare int literal would compile to INT, and Catalyst requires the
+        # accumulator type to EQUAL the merge lambda's result type — widen to
+        # bigint so `{"initialValue": 0}` works over integer arrays; for a
+        # double accumulator write {"$toDouble": 0}.
+        zero = F.lit(init).cast("bigint")
+    else:
+        zero = _compile_value(init)
+    return F.aggregate(
+        _compile_value(arg["input"]),
+        zero,
+        lambda acc, x: _in_scope({"value": acc, "this": x}, arg["in"]),
+    )
+
+
+# Mongo $dateToString format specifiers → Spark date_format pattern letters
+_DATE_FMT = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%L": "SSS", "%j": "DDD", "%%": "%",
+}
+
+
+def _expr_date_to_string(arg) -> Column:
+    if not (isinstance(arg, dict) and "date" in arg):
+        raise ValueError("$dateToString takes {date, format?}")
+    fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i:i + 2]
+            if spec not in _DATE_FMT:
+                raise ValueError(f"unsupported $dateToString specifier {spec!r}")
+            out.append(_DATE_FMT[spec])
+            i += 2
+        else:
+            # literal run — always quoted, so pattern letters stay literal
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            out.append("'" + fmt[i:j].replace("'", "''") + "'")
+            i = j
+    return F.date_format(_compile_value(arg["date"]), "".join(out))
+
+
+_DATE_UNITS = ("year", "quarter", "month", "day", "hour", "minute", "second")
+
+
+def _date_unit(arg: dict, op: str) -> str:
+    unit = arg.get("unit")
+    if unit not in _DATE_UNITS:
+        raise ValueError(
+            f"{op} unit must be one of {_DATE_UNITS} (week needs startOfWeek "
+            f"semantics Mongo defaults to Sunday and Spark to Monday — "
+            f"unsupported), got {unit!r}"
+        )
+    return str(unit)
+
+
+def _expr_date_trunc(arg) -> Column:
+    if not (isinstance(arg, dict) and "date" in arg):
+        raise ValueError("$dateTrunc takes {date, unit}")
+    if "binSize" in arg or "timezone" in arg:
+        raise ValueError("$dateTrunc binSize/timezone are not supported")
+    return F.date_trunc(_date_unit(arg, "$dateTrunc"), _compile_value(arg["date"]))
+
+
+def _expr_date_add(arg) -> Column:
+    if not (isinstance(arg, dict) and "startDate" in arg and "amount" in arg):
+        raise ValueError("$dateAdd takes {startDate, unit, amount}")
+    return F.timestamp_add(
+        _date_unit(arg, "$dateAdd").upper(),
+        _compile_value(arg["amount"]),
+        _compile_value(arg["startDate"]),
+    )
+
+
+def _expr_date_diff(arg) -> Column:
+    """Mongo `$dateDiff` counts UNIT-BOUNDARY CROSSINGS (23:59→00:01 is one
+    day), not elapsed full units — so both endpoints are truncated to the
+    unit before the typed diff."""
+    if not (isinstance(arg, dict) and "startDate" in arg and "endDate" in arg):
+        raise ValueError("$dateDiff takes {startDate, endDate, unit}")
+    unit = _date_unit(arg, "$dateDiff")
+    s = F.date_trunc(unit, _compile_value(arg["startDate"]))
+    e = F.date_trunc(unit, _compile_value(arg["endDate"]))
+    return F.timestamp_diff(unit.upper(), s, e)
 
 
 def _nargs(op: str, arg, n: int) -> list[Column]:
@@ -364,7 +527,18 @@ _EXPR_OPS: dict[str, Callable[..., Column]] = {
     "$concatArrays": lambda a: F.concat(*_varargs(a)),
     "$in": lambda a: (lambda e, arr: F.array_contains(arr, e))(*_nargs("$in", a, 2)),
     "$slice": _expr_slice,
+    # variable binding + array higher-order functions — Catalyst lambda
+    # expressions (transform/filter/aggregate), fully JVM-side
+    "$let": _expr_let,
+    "$map": _expr_map,
+    "$filter": _expr_filter,
+    "$reduce": _expr_reduce,
     # dates ($dayOfWeek: both engines say 1 = Sunday)
+    "$dateTrunc": _expr_date_trunc,
+    "$dateAdd": _expr_date_add,
+    "$dateDiff": _expr_date_diff,
+    "$dateToString": _expr_date_to_string,
+    "$toDate": lambda a: _nargs("$toDate", a, 1)[0].cast("timestamp"),
     "$year": lambda a: F.year(_nargs("$year", a, 1)[0]),
     "$month": lambda a: F.month(_nargs("$month", a, 1)[0]),
     "$dayOfMonth": lambda a: F.dayofmonth(_nargs("$dayOfMonth", a, 1)[0]),
@@ -428,6 +602,9 @@ _ACCUM = {
     # order-undefined without a preceding $sort — same caveat as Mongo
     "$first": lambda v: F.first(_compile_value(v)),
     "$last": lambda v: F.last(_compile_value(v)),
+    "$stdDevPop": lambda v: F.stddev_pop(_compile_value(v)),
+    "$stdDevSamp": lambda v: F.stddev_samp(_compile_value(v)),
+    "$median": lambda v: F.median(_compile_value(v)),
 }
 
 

@@ -212,7 +212,7 @@ def test_sort_skip_limit_count(docs):
     with pytest.raises(ValueError, match="direction"):
         apply_pipeline(docs, '[{"$sort": {"n": 0}}]')
     with pytest.raises(ValueError, match="accumulator"):
-        apply_pipeline(docs, '[{"$group": {"_id": null, "x": {"$stdDevPop": "$n"}}}]')
+        apply_pipeline(docs, '[{"$group": {"_id": null, "x": {"$accumulator": {}}}}]')
 
 
 @pytest.fixture(scope="module")
@@ -847,3 +847,153 @@ def test_window_fields_accumulator_accepts_expressions(spark):
     )
     got = {(r.k, r.x): r.s for r in out.collect()}
     assert got == {("a", 1): 14, ("a", 3): 14, ("b", 5): 30}
+
+
+def test_expr_let_binds_and_shadows(spark):
+    # $let: bound var usable in the body, computed once per reference site
+    got = _one(
+        spark,
+        '{"$let": {"vars": {"t": {"$add": ["$a", 1]}},'
+        ' "in": {"$multiply": ["$$t", "$$t"]}}}',
+        a=3,
+    )
+    assert got == 16
+    # inner $let shadows the outer binding of the same name
+    got = _one(
+        spark,
+        '{"$let": {"vars": {"t": 1}, "in":'
+        ' {"$let": {"vars": {"t": 10}, "in": {"$add": ["$$t", "$a"]}}}}}',
+        a=5,
+    )
+    assert got == 15
+    # unbound variable is a compile-time error, not a runtime null
+    with pytest.raises(ValueError, match="unbound variable"):
+        _one(spark, '{"$add": ["$$nope", 1]}', a=1)
+
+
+def test_expr_map_filter_reduce(spark):
+    assert _one(
+        spark,
+        '{"$map": {"input": "$a", "as": "v", "in": {"$multiply": ["$$v", 2]}}}',
+        a=[1, 2, 3],
+    ) == [2, 4, 6]
+    # default variable name is $$this
+    assert _one(
+        spark,
+        '{"$map": {"input": "$a", "in": {"$add": ["$$this", 1]}}}',
+        a=[1, 2],
+    ) == [2, 3]
+    assert _one(
+        spark,
+        '{"$filter": {"input": "$a", "cond": {"$gt": ["$$this", 1]}}}',
+        a=[1, 2, 3],
+    ) == [2, 3]
+    # Mongo truthiness inside cond: null element is falsy, not an error
+    bools = spark.createDataFrame(
+        [([True, None, False, True],)], schema="a array<boolean>"
+    )
+    out = apply_pipeline(
+        bools, '[{"$addFields": {"out": {"$filter": {"input": "$a", "cond": "$$this"}}}}]'
+    )
+    assert out.collect()[0]["out"] == [True, True]
+    assert _one(
+        spark,
+        '{"$filter": {"input": "$a", "cond": {"$gt": ["$$this", 0]}, "limit": 2}}',
+        a=[5, -1, 6, 7],
+    ) == [5, 6]
+    assert _one(
+        spark,
+        '{"$reduce": {"input": "$a", "initialValue": 0,'
+        ' "in": {"$add": ["$$value", "$$this"]}}}',
+        a=[1, 2, 3],
+    ) == 6
+    strs = spark.createDataFrame([(["x", "y", "z"],)], schema="a array<string>")
+    out = apply_pipeline(
+        strs,
+        '[{"$addFields": {"out": {"$reduce": {"input": "$a", "initialValue": "",'
+        ' "in": {"$concat": ["$$value", "$$this"]}}}}}]',
+    )
+    assert out.collect()[0]["out"] == "xyz"
+    # nested HOFs: map over structs, reading a subfield of the lambda var
+    df = spark.createDataFrame(
+        [Row(a=[Row(n=1, s="p"), Row(n=4, s="q")])]
+    )
+    out = apply_pipeline(
+        df,
+        '[{"$addFields": {"out": {"$map": {"input": "$a", "as": "e",'
+        ' "in": {"$multiply": ["$$e.n", 10]}}}}}]',
+    )
+    assert out.collect()[0]["out"] == [10, 40]
+
+
+def test_expr_hofs_stay_jvm_side(spark):
+    # the compiled plan must contain no Python evaluation node
+    df = spark.createDataFrame([Row(a=[1, 2, 3])])
+    out = apply_pipeline(
+        df,
+        '[{"$addFields": {"out": {"$reduce": {"input":'
+        ' {"$filter": {"input": {"$map": {"input": "$a", "in":'
+        ' {"$multiply": ["$$this", 2]}}}, "cond": {"$gt": ["$$this", 2]}}},'
+        ' "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}}]',
+    )
+    assert out.collect()[0]["out"] == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_expr_date_family(spark):
+    import datetime
+
+    ts = datetime.datetime(2026, 8, 19, 14, 45, 9)
+    assert _one(spark, '{"$dateTrunc": {"date": "$t", "unit": "month"}}',
+                t=ts) == datetime.datetime(2026, 8, 1)
+    assert _one(spark, '{"$dateAdd": {"startDate": "$t", "unit": "day",'
+                ' "amount": 3}}', t=ts) == datetime.datetime(2026, 8, 22, 14, 45, 9)
+    # $dateDiff counts boundary crossings: 23:59 -> 00:01 is one day
+    df = spark.createDataFrame(
+        [Row(s=datetime.datetime(2026, 1, 1, 23, 59),
+             e=datetime.datetime(2026, 1, 2, 0, 1))]
+    )
+    out = apply_pipeline(
+        df,
+        '[{"$addFields": {"d": {"$dateDiff": {"startDate": "$s",'
+        ' "endDate": "$e", "unit": "day"}},'
+        ' "h": {"$dateDiff": {"startDate": "$s", "endDate": "$e",'
+        ' "unit": "hour"}}}}]',
+    )
+    row = out.collect()[0]
+    assert row.d == 1 and row.h == 1
+    assert _one(
+        spark,
+        '{"$dateToString": {"date": "$t", "format": "%Y-%m-%d %H:%M:%S"}}',
+        t=ts,
+    ) == "2026-08-19 14:45:09"
+    # default format is the Mongo ISO form with millis
+    assert _one(spark, '{"$dateToString": {"date": "$t"}}', t=ts) == (
+        "2026-08-19T14:45:09.000Z"
+    )
+    assert _one(spark, '{"$toDate": "$a"}', a="2026-08-19 00:00:00") == (
+        datetime.datetime(2026, 8, 19)
+    )
+    with pytest.raises(ValueError, match="unit must be one of"):
+        _one(spark, '{"$dateTrunc": {"date": "$t", "unit": "week"}}', t=ts)
+    with pytest.raises(ValueError, match="specifier"):
+        _one(spark, '{"$dateToString": {"date": "$t", "format": "%q"}}', t=ts)
+
+
+def test_group_stddev_median_accumulators(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", x=2.0), Row(k="a", x=4.0), Row(k="a", x=6.0),
+         Row(k="b", x=10.0)]
+    )
+    out = apply_pipeline(
+        df,
+        '[{"$group": {"_id": "$k", "sp": {"$stdDevPop": "$x"},'
+        ' "ss": {"$stdDevSamp": "$x"}, "md": {"$median": "$x"}}}]',
+    )
+    got = {r._id: r for r in out.collect()}
+    assert got["a"].sp == pytest.approx((8 / 3) ** 0.5)
+    assert got["a"].ss == pytest.approx(2.0)
+    assert got["a"].md == 4.0
+    # single-element group: population stddev 0, sample stddev null (Mongo)
+    assert got["b"].sp == 0.0 and got["b"].ss is None
