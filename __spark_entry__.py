@@ -191,6 +191,68 @@ def _cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening evolution (plans/lake.py::_promote): the table starts
+    with `stars int`; the post-split batch delivers bigint values beyond
+    int range, promoting the column (Iceberg ALTER COLUMN TYPE analog,
+    metadata-only — Spark 4 parquet readers widen int32 files natively).
+    The oracle replays the same LWW fold with the same widened arithmetic."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    split = log.agg(F.max("commit_seq")).collect()[0][0] // 2 + 1
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_widen_"), n_buckets=16,
+        user_schema=[
+            ("repo", "string"), ("path", "string"), ("commit", "string"),
+            ("content", "string"), ("content_sha256", "string"),
+            ("stars", "int"),
+        ],
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") < split)).withColumn(
+            "stars", (F.col("commit_seq") % 90).cast("int")
+        ),
+        source_id="widen", batch_id=0,
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") >= split)).withColumn(
+            "stars", (F.col("commit_seq") * 1000000).cast("bigint")
+        ),
+        source_id="widen", batch_id=1,
+    )
+    assert dict(table.manifest["user_schema"])["stars"] == "bigint"
+    return table.snapshot().select("repo", "path", "commit", "stars", "commit_seq")
+
+
+_CDC_WIDENING_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM log
+), split AS (
+  SELECT CAST(MAX(event_id) AS BIGINT) // 2 + 1 AS s FROM events
+)
+SELECT repo, path, commit,
+       CAST(CASE WHEN commit_seq >= (SELECT s FROM split)
+                 THEN commit_seq * 1000000
+                 ELSE commit_seq % 90 END AS BIGINT) AS stars,
+       commit_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 _CDC_EVOLUTION_ORACLE = """
 WITH log AS (
   SELECT CAST(event_id AS BIGINT) AS commit_seq,
@@ -1983,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_final_state": _cdc_apply_final_state,
         "cdc_schema_evolution": _cdc_schema_evolution,
+        "cdc_schema_widening": _cdc_schema_widening,
         "cdc_suppressed_replay": _cdc_suppressed_replay,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
@@ -2030,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
         "cdc_schema_evolution": _CDC_EVOLUTION_ORACLE,
+        "cdc_schema_widening": _CDC_WIDENING_ORACLE,
         "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,

@@ -42,6 +42,12 @@ sink. The design choices are the ones that matter at 100 TB:
   new columns extends it (ALTER TABLE ADD COLUMN analog), a batch missing
   columns gets nulls (union-by-name) — mirrors the watcher passing unknown
   payload fields through untouched (/root/reference/internal/mongo/event.go:31-33).
+  A batch whose column is WIDER than the table's promotes the table type
+  along Iceberg's safe lattice (tinyint→smallint→int→bigint, float→double;
+  ALTER COLUMN TYPE analog) — metadata-only, no rewrite: Spark 4's parquet
+  readers apply widening conversions natively, so files written under the
+  narrower type stay readable. An incompatible type change raises instead
+  of silently truncating the payload.
 
 Single-writer (one streaming query per table), matching the reference's
 single change-stream cursor.
@@ -76,6 +82,25 @@ def _conf(spark: SparkSession, key: str, default: str) -> str:
     if v is not None:
         return v
     return spark.conf.get(f"spark.{key}", default)
+
+
+# Safe type-promotion lattice (Iceberg ALTER COLUMN TYPE rules). A batch
+# column wider than the table's widens the TABLE type; never the reverse.
+_INT_LADDER = ("tinyint", "smallint", "int", "bigint")
+
+
+def _promote(table_t: str, batch_t: str) -> str | None:
+    """Type the column takes when a `batch_t` batch lands in a `table_t`
+    column: the wider of the two along the safe lattice, or None when the
+    pair is incompatible (the caller raises — silent truncation is how CDC
+    pipelines corrupt data)."""
+    if table_t == batch_t:
+        return table_t
+    if table_t in _INT_LADDER and batch_t in _INT_LADDER:
+        return _INT_LADDER[max(_INT_LADDER.index(table_t), _INT_LADDER.index(batch_t))]
+    if {table_t, batch_t} <= {"float", "double"}:
+        return "double"
+    return None
 
 
 # Internal (engine-managed) columns appended after the user schema.
@@ -842,6 +867,21 @@ class LakeTable:
         new_cols = [(n, t) for n, t in batch_payload if n not in known]
         if new_cols:
             user_schema = user_schema + new_cols  # ADD COLUMN analog
+        batch_types = dict(batch_payload)
+        for i, (n, t) in enumerate(user_schema):  # ALTER COLUMN TYPE analog
+            bt = batch_types.get(n)
+            if bt is None or bt == t:
+                continue
+            promoted = _promote(t, bt)
+            if promoted is None:
+                raise ValueError(
+                    f"incompatible schema change for column {n!r}: table has "
+                    f"{t}, batch has {bt} — only widening promotions "
+                    f"({'/'.join(_INT_LADDER)}, float/double) are applied "
+                    f"automatically"
+                )
+            if promoted != t:
+                user_schema[i] = (n, promoted)
         for n, t in user_schema:  # union-by-name: fill columns the batch lacks
             if n not in winners.columns:
                 winners = winners.withColumn(n, F.lit(None).cast(t))
