@@ -191,6 +191,74 @@ def _cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update application (operators/patch.py + LakeTable.
+    _materialize_patches): every 'update' in the derived log becomes a
+    DELTA event carrying only the columns its patch_mask lists (Mongo
+    updateDescription semantics, /root/reference/internal/mongo/event.go);
+    untouched columns inherit — within the batch from the per-column LWW
+    fold, across batches from bucket-pruned table state. The oracle replays
+    the same per-column fold with filtered struct-wrapped arg_max (the
+    struct wrap preserves NULL values a delete writes)."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    split = log.agg(F.max("commit_seq")).collect()[0][0] // 2 + 1
+    mask = F.when(
+        F.col("op") == "update",
+        F.when(F.col("commit_seq") % 3 == 0, F.array(F.lit("lang")))
+        .when(F.col("commit_seq") % 3 == 1, F.array(F.lit("commit")))
+        .otherwise(F.array(F.lit("lang"), F.lit("commit"))),
+    )
+    batch = transform_events(log).withColumn("patch_mask", mask)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_patch_"), n_buckets=16,
+        user_schema=[
+            ("repo", "string"), ("path", "string"), ("commit", "string"),
+            ("lang", "string"), ("content", "string"), ("content_sha256", "string"),
+        ],
+    )
+    table.merge(batch.filter(F.col("commit_seq") < split), source_id="p", batch_id=0)
+    table.merge(batch.filter(F.col("commit_seq") >= split), source_id="p", batch_id=1)
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+
+
+_CDC_PATCH_APPLY_ORACLE = """
+WITH log AS (
+  SELECT CAST(event_id AS BIGINT) AS commit_seq,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'purchase' THEN 'replace'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         'org-' || CAST(user_id % 20 AS VARCHAR) || '/repo-' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'src/file_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+         SUBSTRING(sha256(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 40) AS commit,
+         event_type AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content_raw
+  FROM events
+), fold AS (
+  SELECT repo, path,
+         arg_max({'v': CASE WHEN op = 'delete' THEN NULL ELSE commit END}, commit_seq)
+           FILTER (WHERE op <> 'update' OR (commit_seq % 3) IN (1, 2)) AS c_commit,
+         arg_max({'v': CASE WHEN op = 'delete' THEN NULL ELSE lang END}, commit_seq)
+           FILTER (WHERE op <> 'update' OR (commit_seq % 3) IN (0, 2)) AS c_lang,
+         arg_max({'v': CASE WHEN op = 'delete' THEN NULL
+                            ELSE sha256(content_raw || chr(10)) END}, commit_seq)
+           FILTER (WHERE op <> 'update') AS c_sha,
+         MAX(commit_seq) AS commit_seq,
+         arg_max(op, commit_seq) AS last_op
+  FROM log GROUP BY repo, path
+)
+SELECT repo, path, c_commit.v AS commit, c_lang.v AS lang,
+       c_sha.v AS content_sha256, commit_seq
+FROM fold WHERE last_op <> 'delete'
+"""
+
+
 def _cdc_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening evolution (plans/lake.py::_promote): the table starts
     with `stars int`; the post-split batch delivers bigint values beyond
@@ -2046,7 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_final_state": _cdc_apply_final_state,
         "cdc_schema_evolution": _cdc_schema_evolution,
         "cdc_schema_widening": _cdc_schema_widening,
-        "cdc_suppressed_replay": _cdc_suppressed_replay,
+        "cdc_patch_apply": _cdc_patch_apply,
+    "cdc_suppressed_replay": _cdc_suppressed_replay,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
         "media_decode_real": _media_decode_real,
@@ -2094,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_final_state": _CDC_APPLY_ORACLE,
         "cdc_schema_evolution": _CDC_EVOLUTION_ORACLE,
         "cdc_schema_widening": _CDC_WIDENING_ORACLE,
+        "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE,
         "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,

@@ -677,6 +677,73 @@ class LakeTable:
         buckets = self.n_buckets if n_targets is None else n_targets
         return max(1, min(ceiling, buckets))
 
+    def _materialize_patches(self, batch: DataFrame, caches: list) -> DataFrame:
+        """Fold partial-update rows into full rows (operators/patch.py):
+        per-column LWW over the batch, then untouched columns inherit from
+        current table state. Storage keeps only full rows, so the MOR/COW
+        row-LWW read path is untouched by patches. Only keys written
+        EXCLUSIVELY by patch rows pay the state join, and the state read is
+        bucket-pruned to their buckets — the unavoidable read-modify-write
+        of delta CDC in its cheapest shape."""
+        from kafka_mongo_watcher_spark.operators.envelope import fingerprint_content
+        from kafka_mongo_watcher_spark.operators.patch import fold_patch_batch
+
+        if "content_raw" in batch.columns:
+            # fingerprint BEFORE the fold so the patch columns align with
+            # the table's stored (content, content_sha256); rows not
+            # touching content carry nulls through the UDF
+            batch = fingerprint_content(batch)
+        internal = {n for n, _ in INTERNAL_FIELDS} | {"op", "lineage", "patch_mask"}
+        payload_cols = [
+            f.name
+            for f in batch.schema.fields
+            if f.name not in internal and f.name not in KEY_COLS
+        ]
+        folded = fold_patch_batch(
+            batch, payload_cols, mask_aliases={"content_sha256": "content"}
+        ).persist()
+        caches.append(folded)
+        out_cols = (
+            list(KEY_COLS)
+            + ["partition_id", "offset", "op", "commit_seq"]
+            + payload_cols
+        )
+        complete = F.lit(True)
+        for c in payload_cols:
+            complete = complete & F.col(f"_w_{c}")
+        done = folded.filter(complete).select(*out_cols)
+        pending = folded.filter(~complete)
+        # bounded driver list: <= n_buckets ids, read off the persisted fold
+        bucket_ids = [
+            r["_b"]
+            for r in pending.select(self._bucket_expr().alias("_b")).distinct().collect()
+        ]
+        if not bucket_ids:
+            return done
+        state_cols = [n for n, _ in self.manifest["user_schema"] if n not in KEY_COLS]
+        state = self.read_buckets(bucket_ids, include_tombstones=False).select(
+            *KEY_COLS, *[F.col(c).alias(f"_st_{c}") for c in state_cols]
+        )
+        ftypes = dict(folded.dtypes)
+        filled = pending.join(state, on=list(KEY_COLS), how="left").select(
+            *KEY_COLS,
+            "partition_id",
+            "offset",
+            "op",
+            "commit_seq",
+            *[
+                F.when(F.col(f"_w_{c}"), F.col(c))
+                .otherwise(
+                    F.col(f"_st_{c}")
+                    if c in state_cols
+                    else F.lit(None).cast(ftypes[c])
+                )
+                .alias(c)
+                for c in payload_cols
+            ],
+        )
+        return done.unionByName(filled)
+
     def merge(
         self,
         batch: DataFrame,
@@ -689,7 +756,10 @@ class LakeTable:
         """Apply a change batch: LWW dedup → key-bucketed COW merge → atomic
         snapshot commit. `batch` columns: repo, path, op, commit_seq, offset,
         partition_id, plus payload columns (commit, content, content_sha256,
-        lang, ...). Returns per-merge stats incl. per-partition lineage."""
+        lang, ...). An optional `patch_mask` column (array<string>) marks
+        'update' rows as PARTIAL updates (Mongo updateDescription deltas)
+        writing only the masked columns — see _materialize_patches.
+        Returns per-merge stats incl. per-partition lineage."""
         self._assert_writable()
         import time as _time
 
@@ -727,8 +797,16 @@ class LakeTable:
         sc.setJobDescription(f"merge[{source_id}/{batch_id}]: tuple+lineage agg")
         order_cols = [c for c in ("commit_seq", "offset") if c in batch.columns]
         _dedup_caches: list = []
+        # Partial updates (Mongo updateDescription deltas): fold patch rows
+        # per column + inherit untouched columns from state, yielding one
+        # FULL row per key — dedup below is then a no-op and is skipped.
+        # Lineage/tuples still count the RAW deliveries.
+        patched = "patch_mask" in batch.columns
+        lineage_src = batch.drop("patch_mask") if patched else batch
+        if patched:
+            batch = self._materialize_patches(batch, _dedup_caches)
         tuples = key_order_tuples(
-            batch, KEY_COLS, order_cols, extra_cols=("partition_id",)
+            lineage_src, KEY_COLS, order_cols, extra_cols=("partition_id",)
         ).persist()
         _dedup_caches.append(tuples)
         off_col = "offset" if "offset" in order_cols else order_cols[-1]
@@ -828,7 +906,10 @@ class LakeTable:
                 strategy = "window"
         elif strategy == "semijoin" and not semijoin_fits:
             strategy = "window"
-        if strategy == "semijoin":
+        if patched:
+            # the patch fold already produced exactly one full row per key
+            winners = batch
+        elif strategy == "semijoin":
             # Winner set built FROM the cached tuples: the broadcast build
             # inside the write job runs one narrow agg over the cache — no
             # batch re-scan, no separate gate job (has_dups came free with

@@ -1,0 +1,162 @@
+"""Partial-update application (Mongo updateDescription deltas,
+operators/patch.py + LakeTable._materialize_patches): patch rows carry only
+the columns they change (`patch_mask` lists them); untouched columns
+inherit from table state; a masked NULL is removedFields (explicit unset).
+Reference behavior: the watcher forwards updateDescription deltas unless
+ignoreUpdateDescription (/root/reference/internal/mongo/event.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+SCHEMA = (
+    "partition_id int, offset bigint, op string, repo string, path string, "
+    "commit string, lang string, content string, content_sha256 string, "
+    "commit_seq bigint, patch_mask array<string>"
+)
+
+USER_SCHEMA = [
+    ("repo", "string"), ("path", "string"), ("commit", "string"),
+    ("lang", "string"), ("content", "string"), ("content_sha256", "string"),
+]
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _full(op, path, seq, commit=None, lang="py", content="c", sha=None):
+    return (0, seq, op, "r", path, commit or f"commit{seq}", lang, content,
+            sha or f"sha{seq}", seq, None)
+
+
+def _patch(path, seq, mask, **vals):
+    return (0, seq, "update", "r", path,
+            vals.get("commit"), vals.get("lang"), vals.get("content"),
+            vals.get("content_sha256"), seq, mask)
+
+
+def _state(t):
+    return {
+        r["path"]: (r["commit"], r["lang"], r["content"], r["content_sha256"])
+        for r in t.snapshot().collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_patch_inherits_untouched_columns(spark, tmp_path, mode):
+    t = LakeTable.create(spark, str(tmp_path / f"t_{mode}"), n_buckets=4,
+                         user_schema=USER_SCHEMA, write_mode=mode)
+    t.merge(_b(spark, [_full("insert", "p", 1), _full("insert", "q", 2)]),
+            source_id="s", batch_id=0)
+    # patch p's content only; patch q's lang only
+    t.merge(_b(spark, [
+        _patch("p", 3, ["content", "content_sha256", "commit"],
+               content="c2", content_sha256="sha3", commit="commit3"),
+        _patch("q", 4, ["lang"], lang="go"),
+    ]), source_id="s", batch_id=1)
+    assert _state(t) == {
+        "p": ("commit3", "py", "c2", "sha3"),       # lang inherited
+        "q": ("commit2", "go", "c", "sha2"),        # content inherited
+    }
+    # commit_seq advanced to the patch's
+    seqs = {r["path"]: r["commit_seq"] for r in t.snapshot().collect()}
+    assert seqs == {"p": 3, "q": 4}
+
+
+def test_same_batch_patch_ordering_and_masked_null(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [_full("insert", "p", 1)]), source_id="s", batch_id=0)
+    # two patches to the same key in one batch: disjoint columns both apply,
+    # later write to the same column wins; masked NULL unsets (removedFields)
+    t.merge(_b(spark, [
+        _patch("p", 2, ["content"], content="c2"),
+        _patch("p", 3, ["lang"], lang=None),          # explicit unset
+        _patch("p", 4, ["content"], content="c4"),
+    ]), source_id="s", batch_id=1)
+    # content_sha256 travels WITH content (mask alias): a content patch
+    # rewrites the fingerprint too (here: to the null the patch carried),
+    # never leaves a stale sha of the old content behind
+    assert _state(t) == {"p": ("commit1", None, "c4", None)}
+
+
+def test_full_row_supersedes_earlier_patches_in_batch(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [
+        _patch("p", 1, ["content"], content="early"),
+        _full("replace", "p", 2, lang="go", content="full"),
+        _patch("p", 3, ["content"], content="late"),
+    ]), source_id="s", batch_id=0)
+    # replace wrote every column at seq 2; the seq-3 patch lands on top
+    # (and, via the mask alias, rewrites content_sha256 alongside content)
+    assert _state(t) == {"p": ("commit2", "go", "late", None)}
+
+
+def test_delete_then_patch_resurrects_with_patched_cols_only(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [_full("insert", "p", 1), _full("insert", "q", 2)]),
+            source_id="s", batch_id=0)
+    # q: patch after delete — the delete wrote every column NULL, so nothing
+    # pre-delete leaks; p: delete last -> tombstone
+    t.merge(_b(spark, [
+        _full("delete", "q", 3),
+        _patch("q", 4, ["content"], content="rez"),
+        _patch("p", 5, ["lang"], lang="go"),
+        _full("delete", "p", 6),
+    ]), source_id="s", batch_id=1)
+    assert _state(t) == {"q": (None, None, "rez", None)}
+
+
+def test_patch_on_absent_key_upserts_with_nulls(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [_patch("ghost", 1, ["content"], content="x")]),
+            source_id="s", batch_id=0)
+    assert _state(t) == {"ghost": (None, None, "x", None)}
+
+
+def test_patch_inherits_across_batches_and_is_idempotent(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [_full("insert", "p", 1)]), source_id="s", batch_id=0)
+    patch = _b(spark, [_patch("p", 2, ["content"], content="c2")])
+    t.merge(patch, source_id="s", batch_id=1)
+    before = _state(t)
+    # commit + lang inherited; content_sha256 rides with content (alias)
+    assert before == {"p": ("commit1", "py", "c2", None)}
+    # re-apply with fencing bypassed (fresh source_id): state unchanged
+    t.merge(patch, source_id="s2", batch_id=0)
+    assert _state(t) == before
+
+
+def test_mixed_full_and_patch_rows_across_keys(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    t.merge(_b(spark, [_full("insert", "a", 1), _full("insert", "b", 2)]),
+            source_id="s", batch_id=0)
+    t.merge(_b(spark, [
+        _full("replace", "a", 3, lang="rs"),
+        _patch("b", 4, ["lang"], lang="go"),
+        _full("insert", "c", 5),
+    ]), source_id="s", batch_id=1)
+    got = _state(t)
+    assert got["a"] == ("commit3", "rs", "c", "sha3")
+    assert got["b"] == ("commit2", "go", "c", "sha2")
+    assert got["c"] == ("commit5", "py", "c", "sha5")
+
+
+def test_patch_lineage_counts_raw_deliveries(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4,
+                         user_schema=USER_SCHEMA)
+    stats = t.merge(_b(spark, [
+        _patch("p", 1, ["content"], content="a"),
+        _patch("p", 2, ["content"], content="b"),
+        _patch("p", 3, ["content"], content="c"),
+    ]), source_id="s", batch_id=0)
+    lin = t.manifest["lineage"]["0"]
+    assert lin["events"] == 3 and lin["max_offset"] == 3
+    assert _state(t)["p"][2] == "c"
