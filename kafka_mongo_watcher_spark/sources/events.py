@@ -42,21 +42,48 @@ def read_event_log(spark: SparkSession, path: str, *, explicit_schema: bool = Fa
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def _log_has_patch_mask(path: str) -> bool:
+    """Driver-side peek at ONE parquet footer: the streaming file source
+    needs an explicit schema, and `patch_mask` (partial-update deltas,
+    operators/patch.py) is an optional log column."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+
+        for f in sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )[:1]:
+            return "patch_mask" in pq.read_schema(f).names
+    except Exception:  # noqa: BLE001 — absent/odd footer → plain schema
+        pass
+    return False
+
+
 def stream_event_log(
     spark: SparkSession,
     path: str,
     *,
     max_files_per_trigger: int = 1,
     latest_first: bool = False,
+    with_patch_mask: bool | None = None,
 ) -> DataFrame:
     """Streaming tail of the event log (watch mode, S1).
 
     File source processes files in arrival order; maxFilesPerTrigger is the
     cursor BatchSize analog (S6). The streaming checkpoint stores which files
     were consumed = the resume token (S4): restart with the same
-    checkpointLocation resumes exactly after the last committed batch."""
+    checkpointLocation resumes exactly after the last committed batch.
+    `with_patch_mask=None` autodetects the optional partial-update column
+    from one parquet footer (no Spark job)."""
+    schema = event_schema()
+    if with_patch_mask is None:
+        with_patch_mask = _log_has_patch_mask(path)
+    if with_patch_mask:
+        schema = schema.add("patch_mask", T.ArrayType(T.StringType()))
     return (
-        spark.readStream.schema(event_schema())
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("latestFirst", str(latest_first).lower())
         .option("recursiveFileLookup", "true")

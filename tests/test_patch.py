@@ -160,3 +160,63 @@ def test_patch_lineage_counts_raw_deliveries(spark, tmp_path):
     lin = t.manifest["lineage"]["0"]
     assert lin["events"] == 3 and lin["max_offset"] == 3
     assert _state(t)["p"][2] == "c"
+
+
+# ---- streaming: patch events through the replay stream ----------------------
+
+from kafka_mongo_watcher_spark.streaming.run import run_replay_stream
+
+EVENT_DDL = (
+    "partition_id int, commit_seq bigint, op string, repo string, path string, "
+    "commit string, lang string, content_raw string, offset bigint, "
+    "patch_mask array<string>"
+)
+
+
+def test_streaming_patch_log_applies_deltas(spark, tmp_path):
+    """The streaming source autodetects the optional patch_mask column from
+    a parquet footer (sources/events.py); patches fold through the merge's
+    partial-update path across epochs."""
+    log = tmp_path / "log"
+    spark.createDataFrame(
+        [(0, 1, "insert", "r", "p", "c1", "py", "body1", 1, None),
+         (0, 2, "insert", "r", "q", "c2", "go", "body2", 2, None)],
+        EVENT_DDL,
+    ).coalesce(1).write.parquet(str(log / "chunk=0"))
+    spark.createDataFrame(
+        [(0, 3, "update", "r", "p", None, "rs", None, 3, ["lang"])],
+        EVENT_DDL,
+    ).coalesce(1).write.parquet(str(log / "chunk=1"))
+
+    LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    stats = run_replay_stream(
+        spark,
+        log_dir=str(log),
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert len([s for s in stats if not s.get("skipped")]) == 2
+    t = LakeTable(spark, str(tmp_path / "t"))
+    got = {r["path"]: (r["lang"], r["content"], r["commit_seq"])
+           for r in t.snapshot().collect()}
+    # p: lang patched, content inherited from the insert (canonicalized with
+    # the trailing newline the fingerprint pass appends); q untouched
+    assert got == {"p": ("rs", "body1\n", 3), "q": ("go", "body2\n", 2)}
+
+
+def test_streaming_patch_log_rejects_suppressor(spark, tmp_path):
+    log = tmp_path / "log"
+    spark.createDataFrame(
+        [(0, 1, "update", "r", "p", None, "rs", None, 1, ["lang"])],
+        EVENT_DDL,
+    ).write.parquet(str(log / "chunk=0"))
+    LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="suppress_stale"):
+        run_replay_stream(
+            spark,
+            log_dir=str(log),
+            table_path=str(tmp_path / "t"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            suppress_stale=True,
+        )
