@@ -1273,10 +1273,14 @@ def _stage_merge(df: DataFrame, spec, tables: dict) -> DataFrame:
     the collection IS the engine's lake table — `tables=` supplies a
     LakeTable (anything with .merge/.snapshot), and the stage delegates to
     its exactly-once LWW bucketed merge. The supported shape is the one the
-    engine implements: `on` = the table key (repo, path), `whenMatched:
-    "replace"` + `whenNotMatched: "insert"` (Mongo's defaults are merge/
-    insert — pass "replace" explicitly or rely on ours); anything else
-    raises rather than silently diverging.
+    engine implements: `on` = the table key (repo, path); `whenMatched` ∈
+    replace (our default) / merge (field overlay via the engine's
+    partial-update path — unsupplied columns inherit from the existing doc)
+    / keepExisting (existing doc wins — anti-join drops matched batch keys)
+    / fail; `whenNotMatched` ∈ insert (default) / discard (semi-join keeps
+    only matched keys) / fail. Mongo's own default pair is merge/insert.
+    The key-set joins read ONLY the key columns of the target (Catalyst
+    prunes the scan); fail modes pay one count job each.
 
     Unlike every other stage, `$merge` is an ACTION: applying the pipeline
     runs the merge job(s) immediately (Mongo too treats $merge as the
@@ -1298,12 +1302,52 @@ def _stage_merge(df: DataFrame, spec, tables: dict) -> DataFrame:
         raise ValueError("$merge on must be the table key ['repo', 'path']")
     when_matched = spec.get("whenMatched", "replace")
     when_not_matched = spec.get("whenNotMatched", "insert")
-    if when_matched != "replace" or when_not_matched != "insert":
+    if when_matched not in ("replace", "merge", "keepExisting", "fail"):
         raise ValueError(
-            "$merge supports whenMatched='replace' + whenNotMatched='insert' "
-            f"(LWW upsert), got {when_matched!r}/{when_not_matched!r}"
+            "$merge whenMatched must be replace/merge/keepExisting/fail, "
+            f"got {when_matched!r}"
         )
-    target.merge(df)
+    if when_not_matched not in ("insert", "discard", "fail"):
+        raise ValueError(
+            "$merge whenNotMatched must be insert/discard/fail, "
+            f"got {when_not_matched!r}"
+        )
+    batch = df
+    if when_matched != "replace" or when_not_matched != "insert":
+        existing = target.snapshot().select(*on)  # key-only, column-pruned
+        if when_matched == "fail":
+            n = batch.join(existing, on, "left_semi").count()
+            if n:
+                raise ValueError(f"$merge whenMatched='fail': {n} matched rows")
+        if when_not_matched == "fail":
+            n = batch.join(existing, on, "left_anti").count()
+            if n:
+                raise ValueError(f"$merge whenNotMatched='fail': {n} unmatched rows")
+        if when_matched == "keepExisting":
+            batch = batch.join(existing, on, "left_anti")
+        if when_not_matched == "discard":
+            batch = batch.join(existing, on, "left_semi")
+        if when_matched == "merge":
+            # field overlay = the engine's partial-update path: mask every
+            # payload column the pipeline output CARRIES; the merge inherits
+            # the rest from the existing doc (operators/patch.py)
+            internal = {
+                "partition_id", "offset", "op", "commit_seq", "lineage",
+                "patch_mask",
+            }
+            payload = [
+                c for c in batch.columns if c not in internal and c not in on
+            ]
+            mask = F.array(*[F.lit(c) for c in payload])
+            batch = batch.withColumn(
+                "patch_mask", F.when(F.col("op") != "delete", mask)
+            ).withColumn(
+                "op",
+                F.when(F.col("op") != "delete", F.lit("update")).otherwise(
+                    F.col("op")
+                ),
+            )
+    target.merge(batch)
     return target.refresh().snapshot()
 
 

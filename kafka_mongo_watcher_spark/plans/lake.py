@@ -693,6 +693,13 @@ class LakeTable:
             # the table's stored (content, content_sha256); rows not
             # touching content carry nulls through the UDF
             batch = fingerprint_content(batch)
+        # table columns the batch doesn't carry still enter the fold (as
+        # typed nulls): FULL rows write them null — the union-by-name
+        # contract (pre-evolution chunks) — while patch rows leave them
+        # unwritten, so they inherit from state instead of nulling out
+        for n, typ in self.manifest["user_schema"]:
+            if n not in KEY_COLS and n not in batch.columns:
+                batch = batch.withColumn(n, F.lit(None).cast(typ))
         internal = {n for n, _ in INTERNAL_FIELDS} | {"op", "lineage", "patch_mask"}
         payload_cols = [
             f.name

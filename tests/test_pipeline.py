@@ -575,9 +575,86 @@ def test_merge_stage_must_be_last_and_validated(spark, tmp_path, docs):
     with pytest.raises(ValueError, match="whenMatched"):
         apply_pipeline(
             docs,
-            '[{"$merge": {"into": "t", "whenMatched": "keepExisting"}}]',
+            '[{"$merge": {"into": "t", "whenMatched": "pipeline"}}]',
             tables={"t": t},
         )
+    with pytest.raises(ValueError, match="whenNotMatched"):
+        apply_pipeline(
+            docs,
+            '[{"$merge": {"into": "t", "whenNotMatched": "drop"}}]',
+            tables={"t": t},
+        )
+
+
+def _merge_batch(spark, rows):
+    cols = ("partition_id int, offset bigint, op string, repo string, "
+            "path string, commit string, lang string, content string, "
+            "content_sha256 string, commit_seq bigint")
+    return spark.createDataFrame(rows, cols)
+
+
+def _mrow(path, seq, op="insert", lang="py", content="body"):
+    return (0, seq, op, "r", path, f"c{seq}", lang, content, f"sha{seq}", seq)
+
+
+def test_merge_stage_when_matched_modes(spark, tmp_path):
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_pipeline(_merge_batch(spark, [_mrow("p", 1), _mrow("q", 2)]),
+                   '[{"$merge": "t"}]', tables={"t": t})
+
+    # keepExisting: matched key p keeps its doc; new key n inserts
+    apply_pipeline(
+        _merge_batch(spark, [_mrow("p", 3, lang="rs"), _mrow("n", 4)]),
+        '[{"$merge": {"into": "t", "whenMatched": "keepExisting"}}]',
+        tables={"t": t},
+    )
+    got = {r.path: (r.lang, r.commit) for r in t.snapshot().collect()}
+    assert got == {"p": ("py", "c1"), "q": ("py", "c2"), "n": ("py", "c4")}
+
+    # discard: only matched keys apply; ghost never lands
+    apply_pipeline(
+        _merge_batch(spark, [_mrow("q", 5, op="update", lang="go"),
+                             _mrow("ghost", 6)]),
+        '[{"$merge": {"into": "t", "whenNotMatched": "discard"}}]',
+        tables={"t": t},
+    )
+    got = {r.path: r.lang for r in t.snapshot().collect()}
+    assert got == {"p": "py", "q": "go", "n": "py"}
+
+    # fail modes
+    with pytest.raises(ValueError, match="whenMatched='fail'"):
+        apply_pipeline(
+            _merge_batch(spark, [_mrow("p", 7)]),
+            '[{"$merge": {"into": "t", "whenMatched": "fail"}}]',
+            tables={"t": t},
+        )
+    with pytest.raises(ValueError, match="whenNotMatched='fail'"):
+        apply_pipeline(
+            _merge_batch(spark, [_mrow("ghost2", 8)]),
+            '[{"$merge": {"into": "t", "whenNotMatched": "fail"}}]',
+            tables={"t": t},
+        )
+
+
+def test_merge_stage_merge_mode_overlays_fields(spark, tmp_path):
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_pipeline(_merge_batch(spark, [_mrow("p", 1, content="keepme")]),
+                   '[{"$merge": "t"}]', tables={"t": t})
+    # pipeline output carries ONLY lang as payload: matched doc keeps its
+    # content/commit/sha, new doc gets lang + nulls (Mongo whenMatched:merge)
+    thin = spark.createDataFrame(
+        [(0, 2, "insert", "r", "p", "rs", 2), (0, 3, "insert", "r", "n", "go", 3)],
+        "partition_id int, offset bigint, op string, repo string, path string, "
+        "lang string, commit_seq bigint",
+    )
+    apply_pipeline(thin, '[{"$merge": {"into": "t", "whenMatched": "merge"}}]',
+                   tables={"t": t})
+    got = {r.path: (r.lang, r.content, r.commit) for r in t.snapshot().collect()}
+    assert got == {"p": ("rs", "keepme", "c1"), "n": ("go", None, None)}
 
 
 # ---------- $sample ------------------------------------------------------------
