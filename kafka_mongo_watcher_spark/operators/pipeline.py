@@ -378,6 +378,42 @@ def _reduce(cols: list[Column], f) -> Column:
     return out
 
 
+def _expr_range(arg) -> Column:
+    """Mongo `$range` is HALF-OPEN with a non-zero step; Spark `sequence`
+    is inclusive and rejects inconsistent bounds — so stop one step-sign
+    short of `end`, and guard the empty case (CaseWhen evaluates only the
+    selected branch, so the invalid-bounds sequence never runs)."""
+    vals = _varargs(arg)
+    if len(vals) == 2:
+        s, e, st = vals[0], vals[1], F.lit(1)
+    elif len(vals) == 3:
+        s, e, st = vals
+    else:
+        raise ValueError("$range takes [start, end, step?]")
+    nonempty = ((st > 0) & (e > s)) | ((st < 0) & (e < s))
+    stop = e - F.when(st > 0, 1).otherwise(-1)
+    empty = F.slice(F.sequence(s, s), 1, 0)  # [] of the element type
+    return F.when(nonempty, F.sequence(s, stop, st)).otherwise(empty)
+
+
+def _expr_regex_match(arg) -> Column:
+    """Mongo PCRE vs Spark Java regex: the common subset (classes, anchors,
+    quantifiers, i/m/s/x flags as embedded `(?…)`) behaves identically;
+    the pattern must be a literal so the divergent corners fail at compile
+    time, not per row."""
+    if not (isinstance(arg, dict) and "input" in arg and "regex" in arg):
+        raise ValueError("$regexMatch takes {input, regex, options?}")
+    pat = arg["regex"]
+    if not isinstance(pat, str):
+        raise ValueError("$regexMatch regex must be a literal string")
+    opts = str(arg.get("options", ""))
+    if any(o not in "imsx" for o in opts):
+        raise ValueError(f"$regexMatch options {opts!r}: only i/m/s/x supported")
+    if opts:
+        pat = f"(?{opts})" + pat
+    return F.regexp_like(_compile_value(arg["input"]), F.lit(pat))
+
+
 def _expr_cond(arg) -> Column:
     if isinstance(arg, dict):
         branches = (arg["if"], arg["then"], arg["else"])
@@ -527,6 +563,28 @@ _EXPR_OPS: dict[str, Callable[..., Column]] = {
     "$concatArrays": lambda a: F.concat(*_varargs(a)),
     "$in": lambda a: (lambda e, arr: F.array_contains(arr, e))(*_nargs("$in", a, 2)),
     "$slice": _expr_slice,
+    "$reverseArray": lambda a: F.reverse(_nargs("$reverseArray", a, 1)[0]),
+    # $indexOfArray: Mongo returns -1 when absent, array_position returns
+    # 0 (and is 1-based), so shift and map 0 → -1
+    "$indexOfArray": lambda a: (
+        lambda arr, e: F.array_position(arr, e).cast("int") - 1
+    )(*_nargs("$indexOfArray", a, 2)),
+    "$range": _expr_range,
+    # set operators (Mongo treats arrays as sets here: dedup, order
+    # unspecified — we sort for determinism, documented divergence)
+    "$setUnion": lambda a: F.array_sort(
+        F.array_distinct(_reduce(_varargs(a), F.array_union))
+    ),
+    "$setIntersection": lambda a: F.array_sort(
+        _reduce(_varargs(a), F.array_intersect)
+    ),
+    "$setDifference": lambda a: F.array_sort(
+        (lambda x, y: F.array_except(x, y))(*_nargs("$setDifference", a, 2))
+    ),
+    "$setIsSubset": lambda a: (
+        lambda x, y: F.size(F.array_except(x, y)) == 0
+    )(*_nargs("$setIsSubset", a, 2)),
+    "$regexMatch": _expr_regex_match,
     # variable binding + array higher-order functions — Catalyst lambda
     # expressions (transform/filter/aggregate), fully JVM-side
     "$let": _expr_let,

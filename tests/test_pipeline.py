@@ -1074,3 +1074,35 @@ def test_group_stddev_median_accumulators(spark):
     assert got["a"].md == 4.0
     # single-element group: population stddev 0, sample stddev null (Mongo)
     assert got["b"].sp == 0.0 and got["b"].ss is None
+
+
+def test_expr_set_and_array_ops(spark):
+    assert _one(spark, '{"$reverseArray": "$a"}', a=[1, 2, 3]) == [3, 2, 1]
+    assert _one(spark, '{"$indexOfArray": ["$a", 20]}', a=[10, 20, 30]) == 1
+    assert _one(spark, '{"$indexOfArray": ["$a", 99]}', a=[10, 20, 30]) == -1
+    assert _one(spark, '{"$range": [0, 5]}', a=1) == [0, 1, 2, 3, 4]
+    assert _one(spark, '{"$range": [5, 0, -2]}', a=1) == [5, 3, 1]
+    assert _one(spark, '{"$range": [0, 0]}', a=1) == []
+    assert _one(spark, '{"$range": [3, 0]}', a=1) == []  # wrong-sign default step
+    assert _one(spark, '{"$setUnion": ["$a", [2, 9]]}', a=[1, 2, 1]) == [1, 2, 9]
+    assert _one(spark, '{"$setUnion": ["$a"]}', a=[3, 1, 3]) == [1, 3]  # dedups
+    assert _one(spark, '{"$setIntersection": ["$a", [2, 3, 4]]}',
+                a=[1, 2, 3]) == [2, 3]
+    assert _one(spark, '{"$setDifference": ["$a", [2]]}', a=[1, 2, 3, 1]) == [1, 3]
+    assert _one(spark, '{"$setIsSubset": [[1, 2], "$a"]}', a=[1, 2, 3]) is True
+    assert _one(spark, '{"$setIsSubset": [[1, 9], "$a"]}', a=[1, 2, 3]) is False
+
+
+def test_expr_regex_match(spark):
+    assert _one(spark, '{"$regexMatch": {"input": "$a", "regex": "^src/.*\\\\.py$"}}',
+                a="src/m.py") is True
+    assert _one(spark, '{"$regexMatch": {"input": "$a", "regex": "^SRC"}}',
+                a="src/m.py") is False
+    assert _one(spark, '{"$regexMatch": {"input": "$a", "regex": "^SRC",'
+                ' "options": "i"}}', a="src/m.py") is True
+    with pytest.raises(ValueError, match="options"):
+        _one(spark, '{"$regexMatch": {"input": "$a", "regex": "x", "options": "g"}}',
+             a="x")
+    with pytest.raises(ValueError, match="literal"):
+        _one(spark, '{"$regexMatch": {"input": "$a", "regex": {"$concat": ["x"]}}}',
+             a="x")
