@@ -41,6 +41,7 @@ def bench_cdc_replay(
     n_batches: int = 4,
     write_mode: str = "mor",
     probe_lookups: int = 0,
+    patch_updates: bool = False,
 ) -> dict:
     """Timed: N micro-batch merges + (for MOR) a final full compaction, so
     the number covers the entire cost of producing a read-optimized table —
@@ -66,6 +67,19 @@ def bench_cdc_replay(
         for b in range(n_batches):
             lo, hi = b * step, (b + 1) * step if b < n_batches - 1 else n_events
             chunk = log.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
+            if patch_updates:
+                # updates arrive as updateDescription DELTAS: half patch
+                # content (+sha via the mask alias), half patch lang — the
+                # merge folds per column and joins state for patch-only keys
+                chunk = chunk.withColumn(
+                    "patch_mask",
+                    F.when(
+                        F.col("op") == "update",
+                        F.when(F.col("commit_seq") % 2 == 0,
+                               F.array(F.lit("content")))
+                        .otherwise(F.array(F.lit("lang"))),
+                    ),
+                )
             s = table.merge(
                 transform_events(chunk, fingerprint=False),
                 source_id="bench", batch_id=b, salted=salted,
@@ -155,6 +169,11 @@ def main() -> None:
     r3 = bench_cdc_replay(spark, n_events, salted=False, write_mode="cow")
     queries["cdc_replay_cow"] = round(r3["seconds"], 3)
     strategies["cdc_replay_cow"] = r3["dedup_strategies"]
+    # same stream with updates delivered as updateDescription deltas: the
+    # per-column fold + bucket-pruned state join path (operators/patch.py)
+    r4 = bench_cdc_replay(spark, n_events, salted=False, patch_updates=True)
+    queries["cdc_replay_patch"] = round(r4["seconds"], 3)
+    strategies["cdc_replay_patch"] = r4["dedup_strategies"]
 
     # representative analytical queries from the driver contract at sf_dir
     import __spark_entry__ as entrymod
@@ -188,8 +207,10 @@ def main() -> None:
             "cdc_replay_trials": trials,
             "cdc_replay_estimator": "median of 3",
             "n_batches": 4,
-            "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64, "cdc_replay_cow": 64},
-            "write_mode": {"cdc_replay": "mor", "cdc_replay_salted": "mor", "cdc_replay_cow": "cow"},
+            "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64,
+                          "cdc_replay_cow": 64, "cdc_replay_patch": 64},
+            "write_mode": {"cdc_replay": "mor", "cdc_replay_salted": "mor",
+                           "cdc_replay_cow": "cow", "cdc_replay_patch": "mor"},
             # ACTUAL per-mode routing reported by merge stats (the auto
             # policy is winner-ratio-aware since r3; at this batch shape —
             # ~0.7 winners/event — auto routes to salted)

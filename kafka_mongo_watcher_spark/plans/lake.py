@@ -916,6 +916,7 @@ class LakeTable:
         if patched:
             # the patch fold already produced exactly one full row per key
             winners = batch
+            strategy = "patch_fold"  # honest label in merge stats
         elif strategy == "semijoin":
             # Winner set built FROM the cached tuples: the broadcast build
             # inside the write job runs one narrow agg over the cache — no

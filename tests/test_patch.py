@@ -220,3 +220,20 @@ def test_streaming_patch_log_rejects_suppressor(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             suppress_stale=True,
         )
+
+
+def test_patch_fold_plan_shape(spark):
+    """Scale guard: the fold is ONE keyed aggregate with map-side partial
+    combine — exactly one Exchange, no Window, no join in the fold itself."""
+    from kafka_mongo_watcher_spark.operators.patch import fold_patch_batch
+
+    df = spark.createDataFrame(
+        [(0, 1, "insert", "r", "p", "c", "py", 1, None)],
+        "partition_id int, offset bigint, op string, repo string, path string, "
+        "content string, lang string, commit_seq bigint, patch_mask array<string>",
+    )
+    out = fold_patch_batch(df, ["content", "lang"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(repo") == 1
+    assert "partial_max_by" in plan          # map-side combine before the shuffle
+    assert "Window" not in plan and "Join" not in plan
