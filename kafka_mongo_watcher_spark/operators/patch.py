@@ -30,6 +30,18 @@ Scale shape: the fold is ONE hash aggregate keyed on (repo, path) —
 ``max_by`` with a conditional ordering key per column, map-side
 combinable; no window, no self-join. The state read is pruned to the
 affected buckets and joined only against patch-only keys.
+
+Ordering contract
+-----------------
+WITHIN a batch, arbitrary arrival order is fine — the fold orders by
+``(commit_seq, offset)``. ACROSS batches, per-column resolution relies on
+the change stream's per-key ordered delivery (the oplog contract the
+reference tails): the stored row carries one ``commit_seq``, so a later
+batch delivering an OLDER patch is rejected whole by row-level LWW rather
+than column-merged. True cross-batch out-of-order patching would need
+per-column versions in storage — deliberately out of scope, matching what
+ordered CDC sources guarantee. Batch-CUT invariance over in-order streams
+is property-tested (tests/test_patch.py).
 """
 
 from __future__ import annotations

@@ -237,3 +237,91 @@ def test_patch_fold_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning(repo") == 1
     assert "partial_max_by" in plan          # map-side combine before the shuffle
     assert "Window" not in plan and "Join" not in plan
+
+
+# ---- property: batch-cut invariance over in-order patch streams -------------
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def patch_scenario(draw):
+    """In-seq-order stream (the change-stream delivery contract) of mixed
+    full/patch/delete events over a colliding key space; random batch cuts;
+    random within-batch shuffles."""
+    n = draw(st.integers(min_value=4, max_value=14))
+    kinds = draw(st.lists(
+        st.sampled_from(["insert", "full_update", "patch", "delete"]),
+        min_size=n, max_size=n))
+    keys = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    masks = draw(st.lists(
+        st.sets(st.sampled_from(["commit", "lang"]), min_size=1, max_size=2),
+        min_size=n, max_size=n))
+    cuts = sorted(draw(st.sets(st.integers(1, n - 1), max_size=3)))
+    shuffle_seeds = draw(st.lists(st.randoms(use_true_random=False),
+                                  min_size=4, max_size=4))
+    return kinds, keys, masks, cuts, shuffle_seeds
+
+
+def _patch_rows(kinds, keys, masks):
+    rows = []
+    for seq, (kind, k, mask) in enumerate(zip(kinds, keys, masks), start=1):
+        path = f"p{k}"
+        if kind == "patch":
+            vals = {c: f"{c}{seq}" for c in mask}
+            rows.append(_patch(path, seq, sorted(mask), **vals))
+        elif kind == "delete":
+            rows.append(_full("delete", path, seq))
+        else:
+            op = "insert" if kind == "insert" else "update"
+            rows.append(_full(op, path, seq))
+    return rows
+
+
+def _sequential_patch_oracle(rows):
+    """Replay in commit_seq order with per-column write semantics."""
+    # row tuple layout (see SCHEMA): 0 partition_id, 1 offset, 2 op, 3 repo,
+    # 4 path, 5 commit, 6 lang, 7 content, 8 content_sha256, 9 commit_seq,
+    # 10 patch_mask
+    cols = ("commit", "lang", "content", "content_sha256")
+    state, alive = {}, {}
+    for r in sorted(rows, key=lambda r: r[9]):
+        path, op, mask = r[4], r[2], r[10]
+        vals = dict(zip(cols, (r[5], r[6], r[7], r[8])))
+        if op == "delete":
+            state[path] = {c: None for c in cols}
+            alive[path] = False
+        elif op == "update" and mask is not None:
+            cur = dict(state.get(path) or {c: None for c in cols})
+            for c in mask:
+                cur[c] = vals[c]
+            state[path] = cur
+            alive[path] = True
+        else:
+            state[path] = vals
+            alive[path] = True
+    return {p: tuple(v[c] for c in cols) for p, v in state.items() if alive[p]}
+
+
+@given(case=patch_scenario())
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_patch_batch_cut_invariance(spark, case):
+    kinds, keys, masks, cuts, rngs = case
+    rows = _patch_rows(kinds, keys, masks)
+    bounds = [0, *cuts, len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="kmw_patchprop_"),
+                         n_buckets=4, user_schema=USER_SCHEMA, write_mode="mor")
+    for i, b in enumerate(batches):
+        b = list(b)
+        rngs[i % len(rngs)].shuffle(b)  # intra-batch order is arbitrary
+        t.merge(_b(spark, b), source_id="s", batch_id=i)
+    want = _sequential_patch_oracle(rows)
+    assert _state(t) == want
+    # replaying the final batch (fencing bypassed) must not change state
+    t.merge(_b(spark, batches[-1]), source_id="s2", batch_id=0)
+    assert _state(t) == want
