@@ -690,8 +690,18 @@ class LakeTable:
 
         if "content_raw" in batch.columns:
             # fingerprint BEFORE the fold so the patch columns align with
-            # the table's stored (content, content_sha256); rows not
-            # touching content carry nulls through the UDF
+            # the table's stored (content, content_sha256) — but null-gate
+            # content_raw first: a patch row that doesn't write content has
+            # its content value ignored by the fold anyway, so don't pay
+            # normalization+sha bytes for it (the pandas UDF passes nulls
+            # through for free)
+            is_patch = (F.col("op") == "update") & F.col("patch_mask").isNotNull()
+            writes_content = (~is_patch) | F.array_contains(
+                F.col("patch_mask"), F.lit("content")
+            )
+            batch = batch.withColumn(
+                "content_raw", F.when(writes_content, F.col("content_raw"))
+            )
             batch = fingerprint_content(batch)
         # table columns the batch doesn't carry still enter the fold (as
         # typed nulls): FULL rows write them null — the union-by-name
