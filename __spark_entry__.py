@@ -147,6 +147,44 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (plans/lake.py::LakeTable.branch/publish — the
+    Iceberg WAP refs workflow): the first half of the change log merges
+    straight to main; the second half is staged on an `audit` branch —
+    PROVABLY invisible to main readers (asserted mid-flight) — then
+    published as an atomic fast-forward. Final main state must equal the
+    plain sequential apply, so this query shares `cdc_apply_final_state`'s
+    DuckDB oracle, which knows nothing about the staging detour."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    lo, hi = log.agg(F.min("commit_seq"), F.max("commit_seq")).first()
+    mid = lo + (hi - lo) // 2
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_wap_"), n_buckets=16, write_mode="mor"
+    )
+    table.merge(
+        transform_events(log.filter(F.col("commit_seq") <= mid)),
+        source_id="entry", batch_id=0,
+    )
+    version_before = table.version
+    audit = table.branch("audit")
+    audit.merge(
+        transform_events(log.filter(F.col("commit_seq") > mid)),
+        source_id="entry", batch_id=1,
+    )
+    # the audit step: staged commit is invisible to main until publish
+    if table.refresh().version != version_before:
+        raise AssertionError("branch merge leaked into main before publish")
+    table.publish("audit")
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("commit_seq").alias("commit_seq"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _cdc_apply_final_state(spark, "/root/testdata/sf0.001")
@@ -2115,7 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _cdc_schema_evolution,
         "cdc_schema_widening": _cdc_schema_widening,
         "cdc_patch_apply": _cdc_patch_apply,
-    "cdc_suppressed_replay": _cdc_suppressed_replay,
+        "cdc_suppressed_replay": _cdc_suppressed_replay,
+        "cdc_wap_publish": _cdc_wap_publish,
         "dedup_simhash": _dedup_simhash,
         "media_decode_meta": _media_decode_meta,
         "media_decode_real": _media_decode_real,
@@ -2165,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_widening": _CDC_WIDENING_ORACLE,
         "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE,
         "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
+        "cdc_wap_publish": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "media_decode_meta": _MEDIA_DECODE_ORACLE,
         "media_decode_real": _MEDIA_DECODE_REAL_ORACLE,

@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -186,6 +187,7 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._ref: str | None = None  # branch name when a branch handle
         self._load()
 
     # ---------- manifest / commit plumbing ----------
@@ -223,8 +225,12 @@ class LakeTable:
         return cls(spark, path)
 
     @staticmethod
-    def _write_manifest(path: str, manifest: dict, *, exclusive: bool = False) -> None:
-        mpath = os.path.join(path, "_manifests", f"v{manifest['version']:08d}.json")
+    def _write_manifest(
+        path: str, manifest: dict, *, exclusive: bool = False, mdir: str | None = None
+    ) -> None:
+        mpath = os.path.join(
+            mdir or os.path.join(path, "_manifests"), f"v{manifest['version']:08d}.json"
+        )
         tmp = mpath + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -246,16 +252,61 @@ class LakeTable:
             os.remove(tmp)
 
     @staticmethod
-    def _flip_latest(path: str, version: int) -> None:
-        tmp = os.path.join(path, "_latest.tmp")
+    def _flip_latest(path: str, version: int, *, latest_dir: str | None = None) -> None:
+        target = os.path.join(latest_dir or path, "_latest")
+        tmp = target + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
-        os.replace(tmp, os.path.join(path, "_latest"))  # atomic commit point
+        os.replace(tmp, target)  # atomic commit point
+
+    # ---------- refs (branches & tags, the Iceberg refs-map analog) -------
+
+    def _refs_file(self) -> str:
+        return os.path.join(self.path, "_manifests", "_refs.json")
+
+    def _load_refs(self) -> dict:
+        try:
+            with open(self._refs_file()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"branches": {}, "tags": {}}
+
+    def _save_refs(self, refs: dict) -> None:
+        tmp = self._refs_file() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_file())
+
+    def _branch_mdir(self, name: str) -> str:
+        return os.path.join(self.path, "_manifests", f"branch-{name}")
+
+    def _mdir(self) -> str:
+        """Directory this handle COMMITS manifests into."""
+        ref = getattr(self, "_ref", None)
+        if ref:
+            return self._branch_mdir(ref)
+        return os.path.join(self.path, "_manifests")
+
+    def _latest_dir(self) -> str:
+        return self._mdir() if getattr(self, "_ref", None) else self.path
+
+    def _manifest_path(self, version: int) -> str | None:
+        """Locate a version's manifest: the branch dir first (when this is a
+        branch handle), then main — a branch sees main history up to its
+        fork point plus its own commits after it."""
+        ref = getattr(self, "_ref", None)
+        for d in ([self._branch_mdir(ref)] if ref else []) + [
+            os.path.join(self.path, "_manifests")
+        ]:
+            p = os.path.join(d, f"v{version:08d}.json")
+            if os.path.isfile(p):
+                return p
+        return None
 
     def _load(self) -> None:
-        with open(os.path.join(self.path, "_latest")) as f:
+        with open(os.path.join(self._latest_dir(), "_latest")) as f:
             version = int(f.read().strip())
-        with open(os.path.join(self.path, "_manifests", f"v{version:08d}.json")) as f:
+        with open(self._manifest_path(version)) as f:
             self.manifest = json.load(f)
         self.manifest.setdefault("write_mode", "cow")  # pre-MOR manifests
         self.manifest.setdefault("deltas", {})
@@ -326,7 +377,11 @@ class LakeTable:
         for b, e in entries.items():
             if not _is_ref(e) and len(e) > cap:
                 os.makedirs(blob_dir, exist_ok=True)
-                ref = os.path.join("blobs", f"v{version:08d}_{section}_{b}.json")
+                # branch commits namespace their blobs: a dropped branch's
+                # version numbers can be reused by main, and blob refs must
+                # never collide (blobs are immutable + cached by ref name)
+                br = f"b-{self._ref}_" if getattr(self, "_ref", None) else ""
+                ref = os.path.join("blobs", f"{br}v{version:08d}_{section}_{b}.json")
                 tmp = os.path.join(self.path, "_manifests", ref) + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(e, f)
@@ -455,8 +510,8 @@ class LakeTable:
     # here, so every committed manifest stays readable) ----------
 
     def _manifest_at(self, version: int) -> dict:
-        mpath = os.path.join(self.path, "_manifests", f"v{version:08d}.json")
-        if not os.path.isfile(mpath):
+        mpath = self._manifest_path(version)
+        if mpath is None:
             raise ValueError(f"no committed version {version} at {self.path}")
         with open(mpath) as f:
             m = json.load(f)
@@ -474,6 +529,7 @@ class LakeTable:
         t.spark = self.spark
         t.path = self.path
         t._sidecar_cache = self._sidecar_cache  # blobs are immutable
+        t._ref = getattr(self, "_ref", None)  # branch views resolve branch manifests
         t.manifest = self._manifest_at(version)
         t._frozen = True
         return t
@@ -546,6 +602,145 @@ class LakeTable:
                 }
             )
         return out
+
+    # ---------- branches & tags (Iceberg refs / WAP workflow) -------------
+
+    def branch(self, name: str) -> "LakeTable":
+        """Fork a WRITE branch at the current version — the write-audit-
+        publish (WAP) staging step (Iceberg branch refs / `wap.branch`).
+        Returns a handle whose merges commit to the branch: main readers
+        never see them until `publish(name)` fast-forwards main to the
+        branch head atomically. Branch manifests live in their own
+        directory continuing main's version numbering from the fork point,
+        so a published history is indistinguishable from one written
+        directly to main — `changes`/`history`/time-travel need no branch
+        awareness. Driver-side metadata only; no Spark job."""
+        self._assert_writable()
+        if getattr(self, "_ref", None):
+            raise ValueError("nested branches are not supported")
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        refs = self._load_refs()
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        bdir = self._branch_mdir(name)
+        os.makedirs(bdir, exist_ok=True)
+        self.refresh()
+        self._flip_latest(self.path, self.version, latest_dir=bdir)
+        refs["branches"][name] = {
+            "forked_from": self.version,
+            "created_at": self._clock(),
+        }
+        self._save_refs(refs)
+        return self.open_branch(name)
+
+    def open_branch(self, name: str) -> "LakeTable":
+        """Handle positioned at an existing branch's head."""
+        if name not in self._load_refs()["branches"]:
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        t = object.__new__(LakeTable)
+        t.spark = self.spark
+        t.path = self.path
+        t._sidecar_cache = self._sidecar_cache  # blobs are immutable
+        t._ref = name
+        t._load()
+        return t
+
+    def publish(self, name: str) -> dict:
+        """Atomically fast-forward main to branch `name`'s head — the WAP
+        publish step. Requires main's head to still equal the branch's fork
+        base (strict fast-forward; raises ConcurrentCommitError otherwise —
+        re-fork and replay, merges are idempotent under the `applied`
+        fencing map). The branch's manifests hard-link into main's
+        directory (same CAS as normal commits, so two racing publishes of
+        sibling branches serialize), then `_latest` flips once — readers
+        see all audited commits or none."""
+        self._assert_writable()
+        if getattr(self, "_ref", None):
+            raise ValueError("publish from the main-table handle")
+        refs = self._load_refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        fork = refs["branches"][name]["forked_from"]
+        self.refresh()
+        if self.version != fork:
+            raise ConcurrentCommitError(
+                f"main advanced to v{self.version} since branch {name!r} "
+                f"forked at v{fork}; cannot fast-forward — re-fork and "
+                "replay the batches (idempotent under the applied map)"
+            )
+        bdir = self._branch_mdir(name)
+        with open(os.path.join(bdir, "_latest")) as f:
+            head = int(f.read().strip())
+        main_mdir = os.path.join(self.path, "_manifests")
+        linked = []
+        try:
+            for v in range(fork + 1, head + 1):
+                src = os.path.join(bdir, f"v{v:08d}.json")
+                dst = os.path.join(main_mdir, f"v{v:08d}.json")
+                os.link(src, dst)  # CAS: exactly one publisher wins each v
+                linked.append(dst)
+        except FileExistsError:
+            for p in linked:
+                os.remove(p)
+            raise ConcurrentCommitError(
+                f"version collision publishing branch {name!r}; a sibling "
+                "publish or main commit won — refresh and re-fork"
+            ) from None
+        if head > fork:
+            self._flip_latest(self.path, head)  # the atomic visibility point
+        self.drop_branch(name)
+        self._load()
+        return {"published": name, "versions": list(range(fork + 1, head + 1))}
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: its staged commits become unreachable (their
+        data files are reclaimed by the next `expire_snapshots`)."""
+        refs = self._load_refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        bdir = self._branch_mdir(name)
+        for fn in os.listdir(bdir):
+            os.remove(os.path.join(bdir, fn))
+        os.rmdir(bdir)
+        del refs["branches"][name]
+        self._save_refs(refs)
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Immutable named ref to a committed version (Iceberg tags).
+        Tagged versions are retained by `expire_snapshots`."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.version if version is None else version
+        self._manifest_at(v)  # existence check
+        refs = self._load_refs()
+        if refs["tags"].get(name, v) != v:
+            raise ValueError(f"tag {name!r} exists at v{refs['tags'][name]}")
+        refs["tags"][name] = v
+        self._save_refs(refs)
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._load_refs()
+        if name not in refs["tags"]:
+            raise ValueError(f"no tag {name!r} at {self.path}")
+        del refs["tags"][name]
+        self._save_refs(refs)
+
+    def at_tag(self, name: str) -> "LakeTable":
+        """Time travel by tag: read-only view at the tagged version."""
+        refs = self._load_refs()
+        if name not in refs["tags"]:
+            raise ValueError(f"no tag {name!r} at {self.path}")
+        return self.at_version(refs["tags"][name])
+
+    def refs(self) -> dict:
+        """{'branches': {name: {'forked_from', 'created_at', 'head'}},
+        'tags': {name: version}} — the Iceberg refs metadata table."""
+        refs = self._load_refs()
+        for name, b in refs["branches"].items():
+            with open(os.path.join(self._branch_mdir(name), "_latest")) as f:
+                b["head"] = int(f.read().strip())
+        return refs
 
     def changes(
         self, since_version: int, until_version: int | None = None
@@ -1288,8 +1483,10 @@ class LakeTable:
 
     def _commit(self, manifest: dict) -> None:
         manifest["committed_at"] = self._clock()
-        self._write_manifest(self.path, manifest, exclusive=True)
-        self._flip_latest(self.path, manifest["version"])
+        if getattr(self, "_ref", None):
+            manifest["branch"] = self._ref
+        self._write_manifest(self.path, manifest, exclusive=True, mdir=self._mdir())
+        self._flip_latest(self.path, manifest["version"], latest_dir=self._latest_dir())
         self.manifest = manifest
 
     @staticmethod
@@ -1527,6 +1724,14 @@ class LakeTable:
         self._assert_writable()
         if keep_last is None and older_than_s is None:
             raise ValueError("need keep_last and/or older_than_s")
+        refs = self._load_refs()
+        if refs["branches"]:
+            # a branch references main manifests up to its fork point and
+            # data files main can't see; publish or drop branches first
+            raise ValueError(
+                "expire_snapshots with active branches is not supported: "
+                f"{sorted(refs['branches'])}"
+            )
         mdir = os.path.join(self.path, "_manifests")
         versions = sorted(
             int(fn[1:-5])
@@ -1537,6 +1742,7 @@ class LakeTable:
             self._clock() - older_than_s if older_than_s is not None else None
         )
         retained: set[int] = {self.version}
+        retained.update(refs["tags"].values())  # tags pin their versions
         if keep_last:  # keep_last=0 → current version only
             retained.update(versions[-keep_last:])
         referenced_files: set[str] = set()  # rel paths under table root
