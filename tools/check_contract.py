@@ -1,35 +1,90 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
-set, and order-insensitive values. Usage: python tools/check_contract.py [sf_dir] [names...]
+set, and order-insensitive values.
+
+Driver-strict since round 4 (VERDICT r3 item 3): both sides are materialized
+as pandas frames; per-column dtype KIND must match (int vs float vs other —
+the driver's value hash is dtype-sensitive, so DuckDB HUGEINT->float64 vs
+Spark int64 is a FAIL here even when values are numerically equal); floats
+compare by exact bit pattern (no 9-sig-digit rounding); and list/ndarray/dict
+cells are rejected outright (the driver's canonicalizer crashes on them).
+
+Usage: python tools/check_contract.py [sf_dir] [names...]
 """
 
 from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from kafka_mongo_watcher_spark.session import spark_session  # noqa: E402
 
+#: dtype.kind buckets that must match between the Spark and DuckDB frames.
+#: 'i'/'u' collapse to int; bool stays distinct from int (Spark and DuckDB
+#: both round-trip BOOLEAN as bool); datetimes collapse to 'M'.
+_KIND = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime", "m": "timedelta"}
+
+
+def _kind(dtype) -> str:
+    return _KIND.get(getattr(dtype, "kind", "O"), "other")
+
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    """Exact canonical form: float by bit pattern, no rounding anywhere."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
+        return struct.pack(">d", f).hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(f"list-typed cell {type(v).__name__} — driver canon rejects these")
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is pd.NaT or v != v:  # pandas NaT / NaN-likes in object columns
+        return "\x00NULL"
     return str(v)
 
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def rowset(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(canon(v) for v in row))
+    out.sort()
+    return out
+
+
+def compare_frames(name: str, sp: pd.DataFrame, du: pd.DataFrame):
+    """Return None if equal under driver-strict rules, else a failure string."""
+    if sorted(sp.columns) != sorted(du.columns):
+        return f"cols {sorted(sp.columns)} vs {sorted(du.columns)}"
+    if len(sp) != len(du):
+        return f"rows {len(sp)} vs {len(du)}"
+    for c in sorted(sp.columns):
+        ks, kd = _kind(sp[c].dtype), _kind(du[c].dtype)
+        if ks != kd and "other" not in (ks, kd):
+            return f"dtype mismatch on '{c}': spark {sp[c].dtype} ({ks}) vs duckdb {du[c].dtype} ({kd})"
+    try:
+        a, b = rowset(sp), rowset(du)
+    except TypeError as e:
+        return f"unhashable column: {e}"
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return f"values differ, e.g. {diff[:1]}"
+    return None
 
 
 def main():
@@ -46,39 +101,34 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sp = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            # rows-only check, but still enforce hashable cells so the
+            # driver's weaker gate cannot crash on this query either
+            try:
+                rowset(sp)
+            except TypeError as e:
+                failures.append((name, f"unhashable column: {e}"))
+                print(f"FAIL {name}: {e}")
+                continue
+            print(f"ok?  {name}: rows={len(sp)} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            du = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             continue
-        if sorted(scols) != sorted(dcols):
-            failures.append((name, f"cols {sorted(scols)} vs {sorted(dcols)}"))
-            print(f"FAIL {name}: column mismatch {sorted(scols)} vs {sorted(dcols)}")
-            continue
-        if len(srows) != len(drows):
-            failures.append((name, f"rows {len(srows)} vs {len(drows)}"))
-            print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
-            continue
-        a, b = rowset(scols, srows), rowset(dcols, drows)
-        if a != b:
-            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            failures.append((name, f"values differ, e.g. {diff[:1]}"))
-            print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+        err = compare_frames(name, sp, du)
+        if err:
+            failures.append((name, err))
+            print(f"FAIL {name}: {err}")
         else:
-            print(f"PASS {name}: rows={len(srows)}")
+            print(f"PASS {name}: rows={len(sp)}")
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
