@@ -100,6 +100,14 @@ def lww_dedup_semijoin(
     drop_malformed=False). Caller falls back to `lww_dedup`/
     `lww_dedup_salted` when the winner set is too large to broadcast
     (initial snapshot loads) — same results.
+
+    NOT a pure plan builder unless you opt in (ADVICE r3): with
+    ``has_dups=None`` the duplicate-delivery gate runs EAGERLY as one tiny
+    payload-free Spark job at call time, and without a ``cache_registry``
+    the gate's pass-1 aggregation is recomputed by the returned plan.
+    Callers on a hot path must either precompute ``has_dups`` (LakeTable.
+    merge folds it into its lineage job) or pass ``cache_registry`` and
+    unpersist after their action.
     """
     order_cols = [c for c in ORDER_COLS if c in df.columns] or ["commit_seq"]
     # pass 1a: collapse to distinct (key, ordering) tuples, remembering how

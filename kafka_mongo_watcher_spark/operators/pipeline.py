@@ -1393,10 +1393,18 @@ def _stage_merge(df: DataFrame, spec, tables: dict) -> DataFrame:
                 "partition_id", "offset", "op", "commit_seq", "lineage",
                 "patch_mask",
             }
+            # mask names are LOGICAL table columns: a batch carrying
+            # pre-fingerprint content_raw must mask 'content' — the name
+            # _materialize_patches keys content writes off (ADVICE r3;
+            # mirrors merge's mask_aliases={'content_sha256': 'content'}) —
+            # or the content update would be silently dropped
+            mask_alias = {"content_raw": "content"}
             payload = [
                 c for c in batch.columns if c not in internal and c not in on
             ]
-            mask = F.array(*[F.lit(c) for c in payload])
+            mask = F.array_distinct(
+                F.array(*[F.lit(mask_alias.get(c, c)) for c in payload])
+            )
             batch = batch.withColumn(
                 "patch_mask", F.when(F.col("op") != "delete", mask)
             ).withColumn(

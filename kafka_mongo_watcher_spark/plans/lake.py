@@ -188,6 +188,7 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self._ref: str | None = None  # branch name when a branch handle
+        self._ref_token: str | None = None  # per-fork blob-namespace token
         self._load()
 
     # ---------- manifest / commit plumbing ----------
@@ -379,8 +380,16 @@ class LakeTable:
                 os.makedirs(blob_dir, exist_ok=True)
                 # branch commits namespace their blobs: a dropped branch's
                 # version numbers can be reused by main, and blob refs must
-                # never collide (blobs are immutable + cached by ref name)
-                br = f"b-{self._ref}_" if getattr(self, "_ref", None) else ""
+                # never collide (blobs are immutable + cached by ref name).
+                # The per-fork token (ADVICE r3) keeps the invariant when a
+                # branch is dropped unpublished and the same NAME is
+                # re-forked at the same base — the new fork mints new blob
+                # refs instead of os.replace-ing the orphaned ones (which
+                # sibling handles may hold cached).
+                br = ""
+                if getattr(self, "_ref", None):
+                    tok = getattr(self, "_ref_token", None)
+                    br = f"b-{self._ref}{'.' + tok if tok else ''}_"
                 ref = os.path.join("blobs", f"{br}v{version:08d}_{section}_{b}.json")
                 tmp = os.path.join(self.path, "_manifests", ref) + ".tmp"
                 with open(tmp, "w") as f:
@@ -530,6 +539,7 @@ class LakeTable:
         t.path = self.path
         t._sidecar_cache = self._sidecar_cache  # blobs are immutable
         t._ref = getattr(self, "_ref", None)  # branch views resolve branch manifests
+        t._ref_token = getattr(self, "_ref_token", None)
         t.manifest = self._manifest_at(version)
         t._frozen = True
         return t
@@ -630,19 +640,24 @@ class LakeTable:
         refs["branches"][name] = {
             "forked_from": self.version,
             "created_at": self._clock(),
+            # per-fork blob-namespace token: re-forking a dropped name
+            # must never reuse the orphaned fork's blob refs (ADVICE r3)
+            "token": uuid.uuid4().hex[:8],
         }
         self._save_refs(refs)
         return self.open_branch(name)
 
     def open_branch(self, name: str) -> "LakeTable":
         """Handle positioned at an existing branch's head."""
-        if name not in self._load_refs()["branches"]:
+        entry = self._load_refs()["branches"].get(name)
+        if entry is None:
             raise ValueError(f"no branch {name!r} at {self.path}")
         t = object.__new__(LakeTable)
         t.spark = self.spark
         t.path = self.path
         t._sidecar_cache = self._sidecar_cache  # blobs are immutable
         t._ref = name
+        t._ref_token = entry.get("token")  # pre-r4 branches have none
         t._load()
         return t
 

@@ -43,22 +43,37 @@ def read_event_log(spark: SparkSession, path: str, *, explicit_schema: bool = Fa
 
 
 def _log_has_patch_mask(path: str) -> bool:
-    """Driver-side peek at ONE parquet footer: the streaming file source
+    """Driver-side peek at the parquet footers: the streaming file source
     needs an explicit schema, and `patch_mask` (partial-update deltas,
-    operators/patch.py) is an optional log column."""
+    operators/patch.py) is an optional log column.
+
+    Checks EVERY footer, not just the lexicographically-first (ADVICE r3):
+    a log whose later chunks add patch_mask would otherwise stream without
+    the column and apply patch rows as FULL updates, silently nulling the
+    untouched columns. Mixed presence raises — callers with genuinely
+    evolving logs must pass `with_patch_mask` explicitly. Footer reads are
+    metadata-only (no Spark job); for a pathological file count the caller
+    should pass the flag rather than pay the listing."""
     import glob as _glob
     import os as _os
 
     try:
         import pyarrow.parquet as pq
 
-        for f in sorted(
+        files = sorted(
             _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-        )[:1]:
-            return "patch_mask" in pq.read_schema(f).names
+        )
+        if not files:
+            return False
+        seen = {("patch_mask" in pq.read_schema(f).names) for f in files}
     except Exception:  # noqa: BLE001 — absent/odd footer → plain schema
-        pass
-    return False
+        return False
+    if len(seen) > 1:
+        raise ValueError(
+            f"event log {path!r} mixes chunks with and without patch_mask; "
+            "pass with_patch_mask explicitly to stream_event_log/run_replay_stream"
+        )
+    return seen.pop()
 
 
 def stream_event_log(
