@@ -956,15 +956,18 @@ FROM h
 
 
 def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container decode round-trip (r3, VERDICT r2 §next 6): per doc_id
-    a genuine BMP (id%3==0), PCM WAV (id%3==1), or zlib-compressed PNG
-    (id%3==2) is BUILT byte-for-byte (functions/multimodal.py encode_*),
-    then decoded by the byte-level container parsers — headers + CRCs
-    validated, pixel rows / PCM samples / inflated+unfiltered scanlines
-    reduced with numpy. Every encoding parameter is a closed-form function
-    of doc_id, so the DuckDB oracle checks the decoded metadata AND body
-    statistics (mean pixel / RMS) without parsing bytes. Two Arrow-batched
-    mapInPandas stages, no shuffle."""
+    """REAL container decode round-trip (r3+r4, VERDICT r3 §next 5): per
+    doc_id a genuine BMP (id%5==0), PCM WAV (1), zlib-compressed PNG (2),
+    LZW-compressed GIF (3, interlaced on odd ids), or baseline JPEG (4,
+    4:2:0-subsampled on even ids) is BUILT byte-for-byte
+    (functions/multimodal.py encode_*), then decoded by the byte-level
+    container parsers — headers, CRCs, Huffman/LZW entropy streams, IDCT.
+    Every encoding parameter is a closed-form function of doc_id, so the
+    DuckDB oracle checks the decoded metadata AND body statistics (mean
+    pixel / RMS) without parsing bytes. JPEG is the one lossy codec, so its
+    body_mean is asserted to tolerance Spark-side (`body_ok`, quantization
+    bound ±3.5) and nulled in the exact-match column — everything else
+    matches exactly. Two Arrow-batched mapInPandas stages, no shuffle."""
     from kafka_mongo_watcher_spark.functions.multimodal import (
         decode_media,
         synthesize_containers,
@@ -972,6 +975,14 @@ def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, "documents")
     media = synthesize_containers(spark.table("documents").select("doc_id"))
+    jpeg_expected = (
+        F.col("doc_id") % 5 == 4,
+        (
+            ((F.col("doc_id") * 11 + 4) % 256)
+            + ((F.col("doc_id") * 7 + 6) % 256)
+            + ((F.col("doc_id") * 3 + 8) % 256)
+        ).cast("double") / F.lit(3.0),
+    )
     return decode_media(media).select(
         "doc_id",
         F.col("meta.media_type").alias("media_type"),
@@ -980,32 +991,50 @@ def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_channels").alias("n_channels"),
         F.col("meta.duration_ms").alias("duration_ms"),
         F.col("meta.codec").alias("codec"),
-        F.col("meta.body_mean").alias("body_mean"),
+        F.when(jpeg_expected[0], F.lit(None).cast("double"))
+        .otherwise(F.col("meta.body_mean"))
+        .alias("body_mean"),
+        F.when(
+            jpeg_expected[0],
+            F.abs(F.col("meta.body_mean") - jpeg_expected[1]) <= F.lit(3.5),
+        )
+        .otherwise(F.col("meta.body_mean").isNotNull())
+        .alias("body_ok"),
     )
 
 
 _MEDIA_DECODE_REAL_ORACLE = """
 SELECT doc_id,
-  CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS media_type,
-  CASE WHEN doc_id % 3 = 0 THEN CAST(4 + doc_id % 13 AS INT)
-       WHEN doc_id % 3 = 2 THEN CAST(5 + doc_id % 11 AS INT) END AS width,
-  CASE WHEN doc_id % 3 = 0 THEN CAST(3 + doc_id % 9 AS INT)
-       WHEN doc_id % 3 = 2 THEN CAST(4 + doc_id % 7 AS INT) END AS height,
-  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS n_channels,
-  CASE WHEN doc_id % 3 = 1 THEN
+  CASE WHEN doc_id % 5 = 1 THEN 'audio' ELSE 'image' END AS media_type,
+  CASE WHEN doc_id % 5 = 0 THEN CAST(4 + doc_id % 13 AS INT)
+       WHEN doc_id % 5 = 2 THEN CAST(5 + doc_id % 11 AS INT)
+       WHEN doc_id % 5 = 3 THEN CAST(3 + doc_id % 10 AS INT)
+       WHEN doc_id % 5 = 4 THEN CAST(8 + doc_id % 9 AS INT) END AS width,
+  CASE WHEN doc_id % 5 = 0 THEN CAST(3 + doc_id % 9 AS INT)
+       WHEN doc_id % 5 = 2 THEN CAST(4 + doc_id % 7 AS INT)
+       WHEN doc_id % 5 = 3 THEN CAST(2 + doc_id % 6 AS INT)
+       WHEN doc_id % 5 = 4 THEN CAST(8 + doc_id % 5 AS INT) END AS height,
+  CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 3 END AS n_channels,
+  CASE WHEN doc_id % 5 = 1 THEN
     CAST(FLOOR((50 + doc_id % 100) * 1000.0 / (8000 + (doc_id % 5) * 1000)) AS INT)
   END AS duration_ms,
-  CASE WHEN doc_id % 3 = 0 THEN 'bmp'
-       WHEN doc_id % 3 = 1 THEN 'pcm_s16le'
-       ELSE 'png' END AS codec,
-  CASE WHEN doc_id % 3 = 0 THEN
+  CASE WHEN doc_id % 5 = 0 THEN 'bmp'
+       WHEN doc_id % 5 = 1 THEN 'pcm_s16le'
+       WHEN doc_id % 5 = 2 THEN 'png'
+       WHEN doc_id % 5 = 3 THEN 'gif'
+       ELSE 'jpeg' END AS codec,
+  CASE WHEN doc_id % 5 = 0 THEN
     (CAST(doc_id % 256 AS DOUBLE) + CAST((3 * doc_id + 7) % 256 AS DOUBLE)
      + CAST((5 * doc_id + 11) % 256 AS DOUBLE)) / 3.0
-  WHEN doc_id % 3 = 1 THEN CAST(1000 + doc_id % 2000 AS DOUBLE)
-  ELSE
+  WHEN doc_id % 5 = 1 THEN CAST(1000 + doc_id % 2000 AS DOUBLE)
+  WHEN doc_id % 5 = 2 THEN
     (CAST((7 * doc_id + 1) % 256 AS DOUBLE) + CAST((2 * doc_id + 3) % 256 AS DOUBLE)
      + CAST((11 * doc_id + 5) % 256 AS DOUBLE)) / 3.0
-  END AS body_mean
+  WHEN doc_id % 5 = 3 THEN
+    (CAST((13 * doc_id + 2) % 256 AS DOUBLE) + CAST((5 * doc_id + 9) % 256 AS DOUBLE)
+     + CAST((17 * doc_id + 3) % 256 AS DOUBLE)) / 3.0
+  END AS body_mean,
+  TRUE AS body_ok
 FROM documents
 """
 

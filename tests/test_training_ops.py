@@ -361,8 +361,10 @@ def test_real_container_decode_roundtrip(spark):
 
 def test_png_jpeg_gif_decode(spark):
     """PNG is REALLY decoded (CRC-validated chunk walk, stdlib-zlib inflate,
-    numpy unfiltering over all five PNG filter types); JPEG/GIF get real
-    header metadata (the ffprobe analog) with body_mean honestly null."""
+    numpy unfiltering over all five PNG filter types); header-only JPEG/GIF
+    payloads (no scan / image data) degrade to the real metadata probe with
+    body_mean honestly null — full-pixel JPEG/GIF decode is covered in
+    tests/test_codecs.py (r4)."""
     import struct
     import zlib
 
