@@ -132,6 +132,20 @@ class ConcurrentCommitError(RuntimeError):
     winner's state (batch-id fencing keeps the retry exactly-once)."""
 
 
+def _footer_file_entry(abs_path: str, with_blooms: bool = True):
+    """One manifest file_stats entry: [repo_min, repo_max, path_min,
+    path_max, rows] plus, when the writer emitted parquet-native Bloom
+    filters on the key columns, a 6th element with their per-row-group
+    offsets (see plans/parquet_bloom.py). Readers tolerate both shapes."""
+    s = _footer_key_stats(abs_path)
+    if s is None or not with_blooms:
+        return s
+    from kafka_mongo_watcher_spark.plans.parquet_bloom import bloom_locators
+
+    locs = bloom_locators(abs_path)
+    return s + [locs] if locs else s
+
+
 def _is_ref(e) -> bool:
     """True when a manifest entry is a sidecar pointer {"ref","n"} rather
     than an inline value. Inline values are lists (file lists) or dicts
@@ -411,22 +425,30 @@ class LakeTable:
         return e if isinstance(e, dict) else {}
 
     def _collect_key_stats(self, rel_files: list[str]) -> dict:
-        """Footer-only stats for freshly written files. Driver-side for small
-        batches (O(ms) per local footer read); a tiny Spark job past
-        `kmw.stats.driverFooterMax` so a 10^4-file commit never serializes
-        footer IO through the driver. Disable with kmw.stats.collect=false."""
+        """Footer-only stats for freshly written files: key min/max bounds
+        plus (kmw.stats.bloomLocators, default on) the offsets of any
+        parquet-native Bloom filters the writer emitted, so `lookup` can
+        range-read and probe them without re-parsing footers. Driver-side
+        for small batches (O(ms) per local footer read); a tiny Spark job
+        past `kmw.stats.driverFooterMax` so a 10^4-file commit never
+        serializes footer IO through the driver. Disable with
+        kmw.stats.collect=false."""
         if _conf(self.spark, "kmw.stats.collect", "true") != "true" or not rel_files:
             return {}
         root = self.path
+        with_blooms = _conf(self.spark, "kmw.stats.bloomLocators", "true") == "true"
         cap = int(_conf(self.spark, "kmw.stats.driverFooterMax", "64"))
         if len(rel_files) <= cap:
-            pairs = [(rf, _footer_key_stats(os.path.join(root, rf))) for rf in rel_files]
+            pairs = [
+                (rf, _footer_file_entry(os.path.join(root, rf), with_blooms))
+                for rf in rel_files
+            ]
         else:
             rdd = self.spark.sparkContext.parallelize(
                 rel_files, max(1, len(rel_files) // 16)
             )
             pairs = rdd.map(
-                lambda rf: (rf, _footer_key_stats(os.path.join(root, rf)))
+                lambda rf: (rf, _footer_file_entry(os.path.join(root, rf), with_blooms))
             ).collect()
         return {rf: s for rf, s in pairs if s is not None}
 
@@ -437,11 +459,48 @@ class LakeTable:
         key provably falls outside [min, max]."""
         if not stats:
             return True
-        rmin, rmax, pmin, pmax, _rows = stats
+        rmin, rmax, pmin, pmax, _rows = stats[:5]
         if repo < rmin or repo > rmax:
             return False
         if rmin == rmax and (path < pmin or path > pmax):
             return False
+        return True
+
+    def _bloom_excludes(self, rel_file: str, stats, repo: str, path: str) -> bool:
+        """True when the file's parquet-native Bloom filters PROVE the key
+        absent from EVERY row group (plans/parquet_bloom.py). Sound: the
+        writer hashed every stored value, so a Bloom miss is a guarantee;
+        any unusable filter (missing column, unreadable bitset, scheme
+        mismatch) is inconclusive and keeps the file. Bitsets are one small
+        range-read each, cached per handle (`_sbbf_cache`, FIFO-bounded) so
+        repeated lookups on a hot table pay the IO once per file."""
+        if not stats or len(stats) < 6 or not stats[5]:
+            return False
+        from kafka_mongo_watcher_spark.plans.parquet_bloom import _read_sbbf, sbbf_probe
+
+        cache = getattr(self, "_sbbf_cache", None)
+        if cache is None:
+            cache = self._sbbf_cache = {}
+        values = {"repo": repo.encode(), "path": path.encode()}
+        abs_path = os.path.join(self.path, rel_file)
+        for rg_idx, cols in enumerate(stats[5]):
+            rg_may_contain = True
+            for col, loc in cols.items():
+                if col not in values:
+                    continue
+                ck = (rel_file, rg_idx, col)
+                if ck not in cache:
+                    if len(cache) >= 512:
+                        cache.pop(next(iter(cache)))
+                    cache[ck] = _read_sbbf(abs_path, loc[0], loc[1])
+                bitset = cache[ck]
+                if bitset is None:
+                    continue  # unusable -> inconclusive for this column
+                if not sbbf_probe(bitset, values[col]):
+                    rg_may_contain = False
+                    break
+            if rg_may_contain:
+                return False
         return True
 
     def _files_of(self, section: str, bucket_ids=None) -> list[str]:
@@ -834,11 +893,19 @@ class LakeTable:
     def _lookup_files(self, repo: str, path: str) -> tuple[list[str], list[str]]:
         """(base_files, delta_files) a point read must scan: the key's
         bucket's files, minus every file whose footer key-bounds prove the
-        key absent. Relative paths; both driver-side, zero Spark jobs."""
+        key absent, minus (kmw.lookup.bloom, default on) every file whose
+        parquet-native Bloom filters prove it absent — the level that pays
+        off on DELTA files, whose random-key bounds span the whole keyspace
+        and never min/max-prune. Relative paths; driver-side, zero Spark
+        jobs; bloom probes are cached range-reads."""
         b = str(self.bucket_of(repo, path))
         stats = self._stats_of(b)
+        use_bloom = _conf(self.spark, "kmw.lookup.bloom", "true") == "true"
         keep = lambda fs: [  # noqa: E731
-            f for f in fs if self._file_may_contain(stats.get(f), repo, path)
+            f
+            for f in fs
+            if self._file_may_contain(stats.get(f), repo, path)
+            and not (use_bloom and self._bloom_excludes(f, stats.get(f), repo, path))
         ]
         return (
             keep(self._entry_files("buckets", b)),
@@ -846,18 +913,23 @@ class LakeTable:
         )
 
     def lookup(self, repo: str, path: str) -> DataFrame:
-        """Point read with two-level pruning, no Spark job for planning:
+        """Point read with three-level pruning, no Spark job for planning:
         (1) bucket pruning — the key's bucket is computed driver-side via the
         pure-Python XXH64, so only that bucket's files are candidates
         (O(table/n_buckets), the Iceberg bucket-transform analog); then
         (2) file pruning — per-file (repo, path) min/max bounds recorded in
         the manifest at commit time drop every file whose range excludes the
-        key (the Iceberg lower/upper-bounds data-skipping analog). Base and
+        key (the Iceberg lower/upper-bounds data-skipping analog); then
+        (3) Bloom pruning — parquet-native split-block Bloom filters the
+        WRITER emitted on the key columns prove the key absent from files
+        the bounds could not exclude (plans/parquet_bloom.py). Base and
         compacted files are written key-sorted, so their bounds are tight;
-        at 100 TB a point read touches one or two files, not a bucket's
-        whole delta chain. Pruning is sound w.r.t. MOR: a pruned file
-        provably holds no row of this key, so LWW over the remaining files
-        sees every version of the key."""
+        delta files hold random keys with keyspace-wide bounds, and the
+        Bloom level is what keeps a point read from scanning a bucket's
+        whole delta chain — at 100 TB a lookup touches one or two files.
+        Pruning is sound w.r.t. MOR: a pruned file provably holds no row of
+        this key, so LWW over the remaining files sees every version of the
+        key."""
         base, deltas = self._lookup_files(repo, path)
         df = self._read_files([os.path.join(self.path, f) for f in base + deltas])
         if deltas:
@@ -870,6 +942,32 @@ class LakeTable:
 
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(self.n_buckets)).cast("int")
+
+    def _write(self, df: DataFrame):
+        """`df.write` with parquet-native Bloom filters on the key columns
+        (kmw.write.parquetBloom, default on). The WRITER pays for the filter
+        — it already holds every row, and parquet-mr hashes JVM-side while
+        encoding — so commit time gains no extra job, shuffle, or read-back;
+        point reads get a third pruning level (see plans/parquet_bloom.py).
+        parquet-mr sizes the filter adaptively from observed NDV and SKIPS
+        it when a chunk is fully dictionary-encoded (the dictionary already
+        filters exactly), so low-cardinality columns like `repo` cost
+        nothing extra."""
+        w = df.write
+        if _conf(self.spark, "kmw.write.parquetBloom", "true") == "true":
+            for c in KEY_COLS:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+            # the adaptive writer picks among 5 candidates sized max.bytes /
+            # 2^i, so the DEFAULT 1 MB cap floors every tiny delta file at a
+            # 64 KB filter; 128 KB keeps the floor at 8 KB while covering
+            # ~100k-distinct-key row groups at ~1% FPP (bigger row groups
+            # degrade FPP gracefully — pruning weakens, never breaks)
+            w = w.option(
+                "parquet.bloom.filter.max.bytes",
+                _conf(self.spark, "kmw.write.parquetBloomMaxBytes", "131072"),
+            )
+        return w
 
     def _writer_count(self, n_targets: int | None = None) -> int:
         """Write-stage task count: min(buckets to write, max(32, cluster
@@ -1243,7 +1341,7 @@ class LakeTable:
                 # (footer stats → lookup pruning) plus better RLE/dict
                 # compression on the key columns.
                 to_write = to_write.sortWithinPartitions("_bucket", *KEY_COLS)
-            to_write.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            self._write(to_write).mode("overwrite").partitionBy("_bucket").parquet(out_dir)
             # NB: Observation metrics can over-count on stage retries /
             # speculative re-execution; merged_rows is reporting-only (never
             # feeds an invariant) — anything invariant-grade must come from
@@ -1430,7 +1528,7 @@ class LakeTable:
                 # writer's mandatory per-task _bucket sort is widened to the
                 # key, so rewritten base files carry tight footer key bounds
                 cow_out = cow_out.sortWithinPartitions("_bucket", *KEY_COLS)
-            cow_out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            self._write(cow_out).mode("overwrite").partitionBy("_bucket").parquet(out_dir)
             _mark("cow_write")
         finally:
             winners.unpersist()
@@ -1577,7 +1675,7 @@ class LakeTable:
             f"compact: {len(ids)} buckets → v{new_version}"
         )
         try:
-            df.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            self._write(df).mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         finally:
             self.spark.sparkContext.setJobDescription(None)
         new_buckets = dict(self.manifest["buckets"])
@@ -1678,7 +1776,7 @@ class LakeTable:
             f"rebucket: {self.n_buckets} → {new_n_buckets} buckets (v{new_version})"
         )
         try:
-            out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            self._write(out).mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         finally:
             self.spark.sparkContext.setJobDescription(None)
         new_buckets: dict = {}

@@ -107,7 +107,11 @@ def test_mor_write_amplification_is_o_batch(spark, tmp_path):
     # keys hash across (nearly) all buckets, yet only delta bytes were written
     assert st["touched_buckets"] >= 12
     delta_bytes = _table_bytes(t, "deltas")
-    assert delta_bytes <= 0.02 * base_bytes + 200_000  # ≈1% data + parquet overhead
+    n_delta_files = sum(t._entry_count(v) for v in t.manifest["deltas"].values())
+    # ≈1% data + parquet overhead + the per-FILE fixed cost of the native
+    # Bloom filters (~8 KB floor at the default 128 KB cap): O(files)·const
+    # metadata, not data amplification — irrelevant at real file sizes
+    assert delta_bytes <= 0.02 * base_bytes + 200_000 + 10_000 * n_delta_files
     assert t.manifest["buckets"] == LakeTable(spark, t.path).manifest["buckets"]
     assert t.version == v_before + 1
 

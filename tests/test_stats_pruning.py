@@ -53,7 +53,7 @@ def test_footer_stats_recorded_per_delta_file(spark, tmp_path):
         files = t._entry_files("deltas", b)
         assert set(stats) == set(files)
         for f in files:
-            rmin, rmax, pmin, pmax, rows = stats[f]
+            rmin, rmax, pmin, pmax, rows = stats[f][:5]
             assert rmin <= rmax and pmin <= pmax and rows > 0
             # bounds round-trip: re-reading the footer agrees
             assert _footer_key_stats(os.path.join(t.path, f))[:4] == [
@@ -215,3 +215,136 @@ def test_lookup_plans_zero_jobs_for_pruning(spark, tmp_path, mode):
     after = sc._jsc.sc().dagScheduler().nextJobId()
     assert after == before
     assert df.count() == 1
+
+
+# ---- parquet-native Bloom-filter pruning (r4, VERDICT r3 §next 8) ----------
+
+def _merge_interleaved(t, spark, batch, n_batches, n_keys, seq):
+    """Keys interleaved across batches: every delta file's (repo, path)
+    bounds span the whole keyspace, so min/max bounds can never prune —
+    only the Bloom level can tell the files apart."""
+    rows = [
+        _row("insert", "repo_X", f"file_{i:05d}.py", seq * 100000 + i, f"c{seq}")
+        for i in range(batch, n_keys, n_batches)
+    ]
+    t.merge(_batch(spark, rows), source_id="s", batch_id=seq)
+
+
+def test_bloom_prunes_delta_files_inside_minmax_bounds(spark, tmp_path):
+    t = _mk(spark, tmp_path, "mor")
+    n_batches, n_keys = 6, 600
+    for b in range(n_batches):
+        _merge_interleaved(t, spark, b, n_batches, n_keys, seq=b + 1)
+    # interior keys: interleaved batches give overlapping per-file path
+    # ranges, so bounds keep several files; blooms prune within them
+    total_bounds = total_bloom = 0
+    for i in (10, 11, 12, 297, 300, 421, 590):
+        key = ("repo_X", f"file_{i:05d}.py")
+        bkt = str(t.bucket_of(*key))
+        stats = t._stats_of(bkt)
+        all_deltas = t._entry_files("deltas", bkt)
+        bounds_kept = [
+            f for f in all_deltas if t._file_may_contain(stats.get(f), *key)
+        ]
+        _, deltas = t._lookup_files(*key)
+        assert set(deltas) <= set(bounds_kept)  # bloom only narrows
+        # FPP leaves the occasional extra file; the point is it's not O(chain)
+        assert len(deltas) <= 2, (key, deltas)
+        total_bounds += len(bounds_kept)
+        total_bloom += len(deltas)
+        got = t.lookup(*key).collect()
+        assert len(got) == 1 and got[0]["content"] == f"c{(i % n_batches) + 1}"
+    # and it genuinely prunes INSIDE the min/max level across the probe set
+    assert total_bloom < total_bounds, (total_bloom, total_bounds)
+
+
+def test_bloom_no_false_negative_for_any_present_key(spark, tmp_path):
+    """Soundness: a Bloom filter may keep a useless file, but it must NEVER
+    drop the file that holds the key — every key stays resolvable."""
+    t = _mk(spark, tmp_path, "mor")
+    for b in range(4):
+        _merge_interleaved(t, spark, b, 4, 200, seq=b + 1)
+    for i in range(0, 200, 7):
+        got = t.lookup("repo_X", f"file_{i:05d}.py").collect()
+        assert len(got) == 1, i
+        assert got[0]["content"] == f"c{(i % 4) + 1}"
+
+
+def test_bloom_disabled_at_write_degrades_to_bounds(spark, tmp_path):
+    spark.conf.set("kmw.write.parquetBloom", "false")
+    try:
+        t = _mk(spark, tmp_path, "mor")
+        for b in range(3):
+            _merge_interleaved(t, spark, b, 3, 90, seq=b + 1)
+        key = ("repo_X", "file_00010.py")
+        bkt = str(t.bucket_of(*key))
+        stats = t._stats_of(bkt)
+        for f, s in stats.items():
+            assert len(s) == 5, f  # no locator element recorded
+        _, deltas = t._lookup_files(*key)
+        bounds_kept = [
+            f
+            for f in t._entry_files("deltas", bkt)
+            if t._file_may_contain(stats.get(f), *key)
+        ]
+        assert deltas == bounds_kept  # bounds-only, no bloom narrowing
+        assert t.lookup(*key).count() == 1
+    finally:
+        spark.conf.unset("kmw.write.parquetBloom")
+
+
+def test_bloom_probe_disabled_at_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, "mor")
+    for b in range(3):
+        _merge_interleaved(t, spark, b, 3, 90, seq=b + 1)
+    key = ("repo_X", "file_00010.py")
+    bkt = str(t.bucket_of(*key))
+    stats = t._stats_of(bkt)
+    bounds_kept = [
+        f
+        for f in t._entry_files("deltas", bkt)
+        if t._file_may_contain(stats.get(f), *key)
+    ]
+    spark.conf.set("kmw.lookup.bloom", "false")
+    try:
+        _, deltas = t._lookup_files(*key)
+        assert deltas == bounds_kept  # probe off -> bounds-only
+    finally:
+        spark.conf.unset("kmw.lookup.bloom")
+    _, deltas = t._lookup_files(*key)
+    assert len(deltas) <= 2 and set(deltas) <= set(bounds_kept)
+
+
+def test_sbbf_locators_and_probe_roundtrip(spark, tmp_path):
+    """Unit level: the thrift footer walk finds the writer's Bloom filters,
+    present values always probe True, absent values probe mostly False
+    (~1% FPP)."""
+    from kafka_mongo_watcher_spark.plans.parquet_bloom import (
+        _read_sbbf,
+        bloom_locators,
+        sbbf_probe,
+    )
+
+    out = str(tmp_path / "sbbf")
+    (
+        spark.range(0, 20000)
+        .selectExpr("concat('p_', id) AS path", "id AS v")
+        .coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#path", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .parquet(out)
+    )
+    f = [os.path.join(out, x) for x in os.listdir(out) if x.endswith(".parquet")][0]
+    locs = bloom_locators(f)
+    assert locs and "path" in locs[0]
+    bitset = _read_sbbf(f, *locs[0]["path"])
+    assert bitset and len(bitset) % 32 == 0
+    assert all(sbbf_probe(bitset, f"p_{i}".encode()) for i in range(0, 20000, 97))
+    absent_hits = sum(sbbf_probe(bitset, f"zz_{i}".encode()) for i in range(2000))
+    assert absent_hits < 2000 * 0.05
+    # a file written without blooms yields no locators
+    (spark.range(5).selectExpr("concat('p_', id) AS path").coalesce(1)
+     .write.parquet(str(tmp_path / "nobloom")))
+    nb = [os.path.join(str(tmp_path / "nobloom"), x)
+          for x in os.listdir(str(tmp_path / "nobloom")) if x.endswith(".parquet")][0]
+    assert bloom_locators(nb) == []
