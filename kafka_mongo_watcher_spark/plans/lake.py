@@ -110,6 +110,12 @@ INTERNAL_FIELDS = [
     ("offset", "bigint"),
     ("partition_id", "int"),
     ("is_deleted", "boolean"),
+    # Partial-update (deferred patch) deltas: bit i set = this row WRITES
+    # payload column i (index into user_schema minus keys, which is append-
+    # only, so positions written under an older schema stay valid forever).
+    # NULL = full row (writes every column) — files written before this
+    # field existed read back as NULL and mean exactly that.
+    ("_write_mask", "bigint"),
 ]
 KEY_COLS = ["repo", "path"]
 DEFAULT_USER_SCHEMA = [
@@ -539,30 +545,92 @@ class LakeTable:
             .drop("_rn")
         )
 
+    def _resolve_lww_columns(self, df: DataFrame) -> DataFrame:
+        """Partial-update merge-on-read resolution: per-COLUMN last-writer-
+        wins across base + masked-delta rows (the Paimon partial-update
+        merge-engine analog). Column c's final value comes from the newest
+        row whose `_write_mask` covers c (NULL mask = full row writes all);
+        row-level internals (commit_seq/offset/partition_id/is_deleted)
+        come from the newest row overall, so a trailing delete tombstones
+        the key and a patch after a delete resurrects it with only the
+        patched columns set — byte-identical to applying the deltas
+        sequentially. ONE hash aggregate keyed on (repo, path), map-side
+        combinable; no window sort, no state join. Output rows are FULL
+        (`_write_mask` NULL), so compaction through this path permanently
+        retires the masks it folds."""
+        payload = [n for n, _ in self.manifest["user_schema"] if n not in KEY_COLS]
+        ordk = F.struct(F.col("commit_seq"), F.col("offset"))
+        row_fields = [n for n, _ in INTERNAL_FIELDS if n != "_write_mask"]
+        aggs = [
+            F.max_by(F.struct(*[F.col(n) for n in row_fields]), ordk).alias("_last")
+        ]
+        for i, c in enumerate(payload):
+            writes = F.col("_write_mask").isNull() | (
+                F.shiftright(F.col("_write_mask"), i).bitwiseAND(F.lit(1)) == F.lit(1)
+            )
+            # a tombstone WRITES every column as NULL no matter what payload
+            # bytes the delete event happened to carry (plain-batch deletes
+            # store the raw event payload; per-row LWW never looks at it, but
+            # per-column resolution would otherwise leak pre-delete values
+            # into a later patch's untouched columns)
+            aggs.append(
+                F.max_by(
+                    F.when(~F.col("is_deleted"), F.col(c)), F.when(writes, ordk)
+                ).alias(c)
+            )
+        return (
+            df.groupBy(*[F.col(c) for c in KEY_COLS])
+            .agg(*aggs)
+            .select(
+                *KEY_COLS,
+                *payload,
+                *[F.col(f"_last.{n}").alias(n) for n in row_fields],
+                F.lit(None).cast("bigint").alias("_write_mask"),
+            )
+        )
+
+    def _masked_buckets(self) -> set:
+        return set(self.manifest.get("masked_buckets", []))
+
     def read_buckets(self, bucket_ids=None, *, include_tombstones: bool = True) -> DataFrame:
         """Scan buckets, resolving MOR deltas where present.
 
         Buckets WITHOUT deltas stream straight off the base files (no
-        shuffle); only buckets WITH pending deltas pay the LWW-resolution
-        window, and that shuffle is keyed on (repo, path) — the same
+        shuffle); only buckets WITH pending deltas pay LWW resolution —
+        the row window for plain deltas, the per-column aggregate
+        (_resolve_lww_columns) for buckets holding masked partial-update
+        deltas — and that shuffle is keyed on (repo, path), the same
         partitioning every downstream merge/agg wants. After `compact()`
         the whole table is back on the no-shuffle path."""
         deltas = self.manifest["deltas"]
+        masked = self._masked_buckets()
         ids = (
             [str(b) for b in bucket_ids]
             if bucket_ids is not None
             else sorted(set(self.manifest["buckets"]) | set(deltas), key=int)
         )
-        hot = [b for b in ids if deltas.get(b)]
+        hot = [b for b in ids if deltas.get(b) and b not in masked]
+        hot_masked = [b for b in ids if deltas.get(b) and b in masked]
         cold = [b for b in ids if not deltas.get(b)]
         df = self._read_files(self._files_of("buckets", cold))
         if hot:
-            resolved = self._resolve_lww(
-                self._read_files(
-                    self._files_of("buckets", hot) + self._files_of("deltas", hot)
+            df = df.unionByName(
+                self._resolve_lww(
+                    self._read_files(
+                        self._files_of("buckets", hot) + self._files_of("deltas", hot)
+                    )
                 )
             )
-            df = df.unionByName(resolved)
+        if hot_masked:
+            df = df.unionByName(
+                self._resolve_lww_columns(
+                    self._read_files(
+                        self._files_of("buckets", hot_masked)
+                        + self._files_of("deltas", hot_masked)
+                    )
+                )
+            )
+        df = df.drop("_write_mask")
         return df if include_tombstones else df.filter(~F.col("is_deleted"))
 
     def snapshot(self) -> DataFrame:
@@ -824,7 +892,12 @@ class LakeTable:
         (Iceberg incremental read / `table_changes` analog). Output is the
         full internal schema plus `_commit_version` and `_change_type`
         ('upsert' | 'delete'); per (key, _commit_version) there is exactly
-        one row — the batch's LWW winner.
+        one row — the batch's LWW winner. Deferred partial-update commits
+        emit their winners as PARTIAL rows: `_write_mask` names (by bit,
+        over user_schema payload positions) the columns the commit actually
+        wrote — NULL mask = full row — so a CDC consumer can distinguish
+        "set to NULL" from "untouched", which eager materialization
+        couldn't express.
 
         Scale shape: a MERGE version's delta files are exactly its change
         rows, so this reads O(changed rows) parquet — no join, no shuffle,
@@ -933,8 +1006,11 @@ class LakeTable:
         base, deltas = self._lookup_files(repo, path)
         df = self._read_files([os.path.join(self.path, f) for f in base + deltas])
         if deltas:
-            df = self._resolve_lww(df)
-        return df.filter(
+            if str(self.bucket_of(repo, path)) in self._masked_buckets():
+                df = self._resolve_lww_columns(df)
+            else:
+                df = self._resolve_lww(df)
+        return df.drop("_write_mask").filter(
             (F.col("repo") == repo) & (F.col("path") == path) & ~F.col("is_deleted")
         )
 
@@ -985,14 +1061,13 @@ class LakeTable:
         buckets = self.n_buckets if n_targets is None else n_targets
         return max(1, min(ceiling, buckets))
 
-    def _materialize_patches(self, batch: DataFrame, caches: list) -> DataFrame:
-        """Fold partial-update rows into full rows (operators/patch.py):
-        per-column LWW over the batch, then untouched columns inherit from
-        current table state. Storage keeps only full rows, so the MOR/COW
-        row-LWW read path is untouched by patches. Only keys written
-        EXCLUSIVELY by patch rows pay the state join, and the state read is
-        bucket-pruned to their buckets — the unavoidable read-modify-write
-        of delta CDC in its cheapest shape."""
+    def _fold_patches(self, batch: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Shared prefix of both patch-apply modes: fingerprint (null-gated
+        to rows that write content), fill table columns the batch lacks,
+        then per-column LWW fold WITHIN the batch (operators/patch.py) —
+        one map-side-combinable hash aggregate, no state read. Returns
+        (folded, payload_cols); folded carries one `_w_{c}` flag per
+        payload column ("some batch event wrote c")."""
         from kafka_mongo_watcher_spark.operators.envelope import fingerprint_content
         from kafka_mongo_watcher_spark.operators.patch import fold_patch_batch
 
@@ -1026,7 +1101,22 @@ class LakeTable:
         ]
         folded = fold_patch_batch(
             batch, payload_cols, mask_aliases={"content_sha256": "content"}
-        ).persist()
+        )
+        return folded, payload_cols
+
+    def _materialize_patches(self, batch: DataFrame, caches: list) -> DataFrame:
+        """EAGER patch apply (kmw.patch.deferred=false, or COW tables, or
+        >62 payload columns): fold partial-update rows into full rows, then
+        untouched columns inherit from current table state at merge time.
+        Storage keeps only full rows, so the row-LWW read path is untouched
+        by patches. Only keys written EXCLUSIVELY by patch rows pay the
+        state join, and the state read is bucket-pruned to their buckets —
+        read-modify-write delta CDC in its cheapest shape. MOR tables
+        default to the DEFERRED mode instead (merge() below): append the
+        folded rows as masked deltas and resolve per column at read/compact
+        time, which removes the state read from the ingest path entirely."""
+        folded, payload_cols = self._fold_patches(batch)
+        folded = folded.persist()
         caches.append(folded)
         out_cols = (
             list(KEY_COLS)
@@ -1128,7 +1218,32 @@ class LakeTable:
         # Lineage/tuples still count the RAW deliveries.
         patched = "patch_mask" in batch.columns
         lineage_src = batch.drop("patch_mask") if patched else batch
-        if patched:
+        # DEFERRED patch apply (default for MOR): append the batch-folded
+        # PARTIAL rows as masked deltas — blind writes, no state read at
+        # ingest — and resolve per column at read/compaction time
+        # (_resolve_lww_columns). The bit mask covers payload columns by
+        # user_schema position, so it caps at 62 columns (bigint, sign bit
+        # spared); wider tables and COW fall back to the eager
+        # read-modify-write path.
+        _non_payload = (
+            {n for n, _ in INTERNAL_FIELDS} | {"op", "lineage", "patch_mask"} | set(KEY_COLS)
+        )
+        _prospective_payload = {n for n, _ in self.manifest["user_schema"]} | {
+            ("content" if c == "content_raw" else c) for c in batch.columns
+        }
+        if "content_raw" in batch.columns:
+            _prospective_payload.add("content_sha256")
+        deferred_patch = (
+            patched
+            and self.manifest["write_mode"] == "mor"
+            and _conf(self.spark, "kmw.patch.deferred", "true") == "true"
+            and len(_prospective_payload - _non_payload) <= 62
+        )
+        if deferred_patch:
+            # no persist, no bucket-id collect, no state scan: the folded
+            # rows flow straight into the fused MOR delta write below
+            batch, _ = self._fold_patches(batch)
+        elif patched:
             batch = self._materialize_patches(batch, _dedup_caches)
         tuples = key_order_tuples(
             lineage_src, KEY_COLS, order_cols, extra_cols=("partition_id",)
@@ -1232,9 +1347,10 @@ class LakeTable:
         elif strategy == "semijoin" and not semijoin_fits:
             strategy = "window"
         if patched:
-            # the patch fold already produced exactly one full row per key
+            # the patch fold already produced exactly one row per key —
+            # full rows in eager mode, masked partial rows in deferred mode
             winners = batch
-            strategy = "patch_fold"  # honest label in merge stats
+            strategy = "patch_append" if deferred_patch else "patch_fold"
         elif strategy == "semijoin":
             # Winner set built FROM the cached tuples: the broadcast build
             # inside the write job runs one narrow agg over the cache — no
@@ -1267,7 +1383,7 @@ class LakeTable:
         batch_payload = [
             (f.name, f.dataType.simpleString())
             for f in winners.schema.fields
-            if f.name not in internal_names
+            if f.name not in internal_names and not f.name.startswith("_w_")
         ]
         user_schema = [tuple(x) for x in self.manifest["user_schema"]]
         known = {n for n, _ in user_schema}
@@ -1292,11 +1408,42 @@ class LakeTable:
         for n, t in user_schema:  # union-by-name: fill columns the batch lacks
             if n not in winners.columns:
                 winners = winners.withColumn(n, F.lit(None).cast(t))
+        if deferred_patch:
+            # bit i of _write_mask ↔ payload column i of the FINAL (post-
+            # evolution) user_schema; every payload column went through the
+            # fold (manifest columns were null-filled pre-fold, new columns
+            # came FROM the batch), so each has a `_w_{c}` flag — bits are
+            # disjoint, so the sum is the bitwise OR
+            _payload_names = [n for n, _ in user_schema if n not in KEY_COLS]
+            _missing_w = [c for c in _payload_names if f"_w_{c}" not in winners.columns]
+            if _missing_w:
+                raise AssertionError(
+                    f"deferred patch fold lost write flags for {_missing_w}"
+                )
+            mask_expr = F.lit(0).cast("bigint")
+            all_written = F.lit(True)
+            for i, c in enumerate(_payload_names):
+                mask_expr = mask_expr + F.when(
+                    F.col(f"_w_{c}"), F.lit(1 << i).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+                all_written = all_written & F.col(f"_w_{c}")
+            # normalize: a row that writes every column IS a full row —
+            # store the canonical NULL mask (inserts/deletes/full updates
+            # inside a patch batch stay indistinguishable from plain rows)
+            winners = winners.withColumn(
+                "_write_mask",
+                F.when(all_written, F.lit(None).cast("bigint")).otherwise(mask_expr),
+            )
+        else:
+            winners = winners.withColumn(
+                "_write_mask", F.lit(None).cast("bigint")
+            )
         out_cols = [F.col(n).cast(t).alias(n) for n, t in user_schema] + [
             F.col("commit_seq").cast("bigint").alias("commit_seq"),
             F.col("offset").cast("bigint").alias("offset"),
             F.col("partition_id").cast("int").alias("partition_id"),
             (F.col("op") == "delete").alias("is_deleted"),
+            F.col("_write_mask"),
         ]
         winners = winners.select(*out_cols).withColumn("_bucket", self._bucket_expr())
         _mark("plan_winners")
@@ -1379,6 +1526,11 @@ class LakeTable:
             }
             new_deltas = self._externalize("deltas", new_deltas, new_version)
             new_stats = self._externalize("file_stats", new_stats, new_version)
+            # buckets whose delta chain may hold PARTIAL (masked) rows and
+            # therefore need per-column resolution; compaction retires them
+            masked_out = self._masked_buckets()
+            if deferred_patch:
+                masked_out = masked_out | {str(b) for b in touched}
             new_manifest = {
                 "version": new_version,
                 "commit_kind": "merge",
@@ -1388,6 +1540,7 @@ class LakeTable:
                 "buckets": dict(self.manifest["buckets"]),
                 "deltas": new_deltas,
                 "file_stats": new_stats,
+                "masked_buckets": sorted(masked_out, key=int),
                 "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
                 "lineage": lineage,
                 "stats": {"delta_files": sum(self._entry_count(v) for v in new_deltas.values())},
@@ -1576,6 +1729,7 @@ class LakeTable:
             "buckets": new_buckets,
             "deltas": dict(self.manifest["deltas"]),
             "file_stats": new_stats,
+            "masked_buckets": sorted(self._masked_buckets(), key=int),
             "applied": {**applied, source_id: batch_id if batch_id is not None else applied.get(source_id, -1)},
             "lineage": lineage,
             "stats": {"files": sum(self._entry_count(v) for v in new_buckets.values())},
@@ -1629,7 +1783,31 @@ class LakeTable:
         keep the first row of each key run — `lag()` over the same window
         spec reuses the bucket exchange AND the sort, so Catalyst plans
         exactly one Exchange (asserted in test_lake_mor). At 100 TB this
-        halves compaction's network bytes."""
+        halves compaction's network bytes.
+
+        Buckets holding masked partial-update deltas can't use the row
+        trick (an old column value may live in a DIFFERENT row than the
+        newest one) — they go through the per-column aggregate instead
+        (_resolve_lww_columns: one hash agg + the write's bucket shuffle,
+        two exchanges for exactly those buckets). Its output rows are full
+        (`_write_mask` NULL), so compacting a masked bucket retires its
+        masks permanently."""
+        masked = self._masked_buckets()
+        m_ids = [b for b in ids if str(b) in masked]
+        ids = [b for b in ids if str(b) not in masked]
+        masked_part = None
+        if m_ids:
+            m_s = [str(b) for b in m_ids]
+            masked_part = self._resolve_lww_columns(
+                self._read_files(
+                    self._files_of("buckets", m_s) + self._files_of("deltas", m_s)
+                )
+            ).withColumn("_bucket", self._bucket_expr())
+            if purge_tombstones:
+                masked_part = masked_part.filter(~F.col("is_deleted"))
+            masked_part = masked_part.repartition(max(len(m_ids), 1), "_bucket")
+            if not ids:
+                return masked_part
         ids_s = [str(b) for b in ids]
         df = self._read_files(
             self._files_of("buckets", ids_s) + self._files_of("deltas", ids_s)
@@ -1656,7 +1834,7 @@ class LakeTable:
         )
         if purge_tombstones:
             out = out.filter(~F.col("is_deleted"))
-        return out
+        return out.unionByName(masked_part) if masked_part is not None else out
 
     def compact_buckets(
         self, bucket_ids: list[int], *, purge_tombstones: bool = False
@@ -1706,6 +1884,11 @@ class LakeTable:
         manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
         manifest["deltas"] = self._externalize("deltas", new_deltas, new_version)
         manifest["file_stats"] = self._externalize("file_stats", new_stats, new_version)
+        # compacted output rows are FULL (per-column resolve emits NULL
+        # masks), so these buckets leave the masked set
+        manifest["masked_buckets"] = sorted(
+            self._masked_buckets() - {str(b) for b in ids}, key=int
+        )
         self._commit(manifest)
         return {"version": new_version, "buckets": len(ids)}
 
@@ -1738,14 +1921,28 @@ class LakeTable:
         all_ids = sorted(
             set(self.manifest["buckets"]) | set(self.manifest["deltas"]), key=int
         )
+        new_bucket_col = F.pmod(
+            F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(new_n_buckets)
+        ).cast("int")
+        masked = self._masked_buckets()
+        plain_ids = [b for b in all_ids if b not in masked]
         df = self._read_files(
-            self._files_of("buckets", all_ids) + self._files_of("deltas", all_ids)
-        ).withColumn(
-            "_bucket",
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(new_n_buckets)
-            ).cast("int"),
+            self._files_of("buckets", plain_ids) + self._files_of("deltas", plain_ids)
         )
+        if masked:
+            # masked partial-update deltas must fold per COLUMN before the
+            # row-LWW lag-dedup below is sound; the fold emits one full row
+            # per key (NULL mask), after which rebucketing treats it like
+            # any other row
+            m_s = sorted(masked, key=int)
+            df = df.unionByName(
+                self._resolve_lww_columns(
+                    self._read_files(
+                        self._files_of("buckets", m_s) + self._files_of("deltas", m_s)
+                    )
+                )
+            )
+        df = df.withColumn("_bucket", new_bucket_col)
         w = Window.partitionBy("_bucket").orderBy(
             F.col("repo"),
             F.col("path"),
@@ -1800,6 +1997,7 @@ class LakeTable:
         manifest["n_buckets"] = new_n_buckets
         manifest["buckets"] = self._externalize("buckets", new_buckets, new_version)
         manifest["deltas"] = {}
+        manifest["masked_buckets"] = []  # full rewrite resolves every mask
         manifest["file_stats"] = self._externalize(
             "file_stats", new_stats, new_version
         )
