@@ -297,6 +297,52 @@ FROM fold WHERE last_op <> 'delete'
 """
 
 
+def _cdc_patch_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred partial-update merge engine (plans/lake.py::merge deferred
+    path + _resolve_lww_columns): same delta stream and oracle as
+    cdc_patch_apply, but on a MERGE-ON-READ table where patch batches
+    append batch-folded PARTIAL rows carrying a `_write_mask` — no state
+    read at ingest — and the snapshot is taken BEFORE compaction, so the
+    driver verifies the per-column LWW read resolution over live masked
+    deltas (the Paimon partial-update merge-engine analog). Guards assert
+    the deferred path actually engaged (strategy=patch_append, manifest
+    masked_buckets non-empty) so a silent fallback to the eager path can't
+    pass as coverage."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    split = log.agg(F.max("commit_seq")).collect()[0][0] // 2 + 1
+    mask = F.when(
+        F.col("op") == "update",
+        F.when(F.col("commit_seq") % 3 == 0, F.array(F.lit("lang")))
+        .when(F.col("commit_seq") % 3 == 1, F.array(F.lit("commit")))
+        .otherwise(F.array(F.lit("lang"), F.lit("commit"))),
+    )
+    batch = transform_events(log).withColumn("patch_mask", mask)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_patchdef_"), n_buckets=16,
+        write_mode="mor",
+        user_schema=[
+            ("repo", "string"), ("path", "string"), ("commit", "string"),
+            ("lang", "string"), ("content", "string"), ("content_sha256", "string"),
+        ],
+    )
+    s0 = table.merge(
+        batch.filter(F.col("commit_seq") < split), source_id="p", batch_id=0
+    )
+    s1 = table.merge(
+        batch.filter(F.col("commit_seq") >= split), source_id="p", batch_id=1
+    )
+    assert s0["dedup_strategy"] == s1["dedup_strategy"] == "patch_append", (
+        s0["dedup_strategy"], s1["dedup_strategy"])
+    assert table.manifest["masked_buckets"], "deferred path left no masks"
+    return table.snapshot().select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+
+
 def _cdc_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening evolution (plans/lake.py::_promote): the table starts
     with `stars int`; the post-split batch delivers bigint values beyond
@@ -2187,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _cdc_schema_evolution,
         "cdc_schema_widening": _cdc_schema_widening,
         "cdc_patch_apply": _cdc_patch_apply,
+        "cdc_patch_deferred": _cdc_patch_deferred,
         "cdc_suppressed_replay": _cdc_suppressed_replay,
         "cdc_wap_publish": _cdc_wap_publish,
         "dedup_simhash": _dedup_simhash,
@@ -2271,6 +2318,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": _CDC_EVOLUTION_ORACLE,
         "cdc_schema_widening": _CDC_WIDENING_ORACLE,
         "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE,
+        # same sequential per-column semantics; the Spark side differs only
+        # in WHERE the fold happens (deferred masked deltas, read-time)
+        "cdc_patch_deferred": _CDC_PATCH_APPLY_ORACLE,
         "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
         "cdc_wap_publish": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),
