@@ -280,6 +280,13 @@ def main():
         f.write(json.dumps(result) + "\n")
 
     prev = committed_efficiency()
+    if eff >= TARGET and prev is not None and prev >= TARGET and eff < prev:
+        # Head-refresh case (VERDICT r3 item 9): a PASSING campaign at a
+        # NEWER commit may replace a stronger but stale PASS — the artifact
+        # must describe the graded tree, and the stronger campaign is never
+        # lost (campaigns.jsonl keeps every run). PASS→FAIL still requires
+        # --force.
+        force = True
     if not force and prev is not None and eff < prev:
         # Never replace the committed artifact with a worse-than-committed
         # result (FAIL over PASS, or a weaker PASS over a stronger one)
