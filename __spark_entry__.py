@@ -1675,6 +1675,125 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD materialization (operators/scd.py scd2_history): the
+    warehouse-consumer view of the watcher's event feed — one row per run
+    of consecutive equal-attribute events per key, with half-open
+    [valid_from, valid_to) intervals and is_current. One Exchange, no Join
+    (plan-guarded in tests/test_scd.py). The oracle is the gaps-and-islands
+    SQL formulation; valid_to uses a -1 sentinel on both sides so the open
+    version stays int64 under the driver's dtype-sensitive hash
+    (is_current is the explicit null indicator)."""
+    from kafka_mongo_watcher_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        order_col="ts",
+        attr_cols=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.coalesce(
+            F.unix_micros(F.col("valid_to").cast("timestamp")),
+            F.lit(-1).cast("long"),
+        ).alias("valid_to_us"),
+        "is_current",
+        F.col("n_events").cast("long").alias("n_events"),
+        "event_type",
+    )
+
+
+_CDC_SCD2_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM marked
+), grouped AS (
+  SELECT user_id, version, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(event_type) AS event_type
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version,
+       epoch_us(valid_from) AS valid_from_us,
+       COALESCE(epoch_us(lead(valid_from) OVER w2), CAST(-1 AS BIGINT))
+         AS valid_to_us,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current,
+       n_events, event_type
+FROM grouped
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+def _cdc_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (operators/scd.py asof_join): every 7th event
+    becomes a probe at ts+30min; the build side is events deduped to one
+    row per (user_id, ts) so the as-of winner is unique. The Spark side is
+    the union+window as-of (one Exchange, no Join node — the range-join
+    formulation explodes at 100 TB); the oracle is DuckDB's NATIVE
+    `ASOF LEFT JOIN`, i.e. an independent engine's as-of semantics. Every
+    probe's own event qualifies (ts <= ts+30min), so matched_* columns are
+    never NULL and both sides hash as int64."""
+    from kafka_mongo_watcher_spark.operators.scd import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = ev.groupBy("user_id", "ts").agg(
+        F.max_by(F.col("event_type"), F.col("event_id")).alias("event_type"),
+        F.max("event_id").alias("b_event_id"),
+    )
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pts"),
+    )
+    out = asof_join(
+        probes,
+        build,
+        key_cols=["user_id"],
+        probe_time="pts",
+        build_time="ts",
+        value_cols=["event_type", "b_event_id"],
+        build_tie="b_event_id",
+    )
+    return out.select(
+        "probe_id",
+        "user_id",
+        F.unix_micros(F.col("pts").cast("timestamp")).alias("probe_ts_us"),
+        F.unix_micros(F.col("matched_time").cast("timestamp")).alias("matched_ts_us"),
+        F.col("matched_event_type").alias("matched_type"),
+        F.col("matched_b_event_id").cast("long").alias("matched_event_id"),
+    )
+
+
+_CDC_ASOF_ORACLE = """
+WITH build AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type,
+         MAX(event_id) AS b_event_id
+  FROM events GROUP BY user_id, ts
+), probes AS (
+  SELECT event_id AS probe_id, user_id, ts + INTERVAL 30 MINUTE AS pts
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT p.probe_id, p.user_id, epoch_us(p.pts) AS probe_ts_us,
+       epoch_us(b.ts) AS matched_ts_us, b.event_type AS matched_type,
+       CAST(b.b_event_id AS BIGINT) AS matched_event_id
+FROM probes p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.pts >= b.ts
+"""
+
+
 _GROUP_PIPELINE_JSON = (
     '[ {"$match": {"value": {"$gte": 10.0}}},'
     '  {"$group": {"_id": "$event_type", "n": {"$sum": 1},'
@@ -2267,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_densify_fill": _cdc_pipeline_densify_fill,
         "cdc_windowed_counts": _cdc_windowed_counts,
         "events_sessionize": _events_sessionize,
+        "cdc_scd2_history": _cdc_scd2_history,
+        "cdc_asof_lookup": _cdc_asof_lookup,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
         "cdc_point_lookup": _cdc_point_lookup,
@@ -2354,6 +2475,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_densify_fill": _CDC_PIPELINE_DENSIFY_ORACLE,
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
+        "cdc_scd2_history": _CDC_SCD2_ORACLE,
+        "cdc_asof_lookup": _CDC_ASOF_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
         "cdc_point_lookup": _CDC_POINT_LOOKUP_ORACLE,
