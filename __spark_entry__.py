@@ -1708,6 +1708,45 @@ def _cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd.py scd2_apply): the
+    event stream is cut into three micro-batches at fixed timestamps and
+    folded into the dimension with two chained scd2_apply calls — only
+    touched keys' max-version seed rows are read back (broadcast semi
+    prune + hash-agg), never the full history. The oracle is the SAME
+    full-stream gaps-and-islands SQL as cdc_scd2_history, so the driver
+    independently verifies the incremental engine's convergence invariant
+    (apply-per-batch == one full recompute, versions included). Late
+    events raise from inside the plan (on_late='raise' default)."""
+    from kafka_mongo_watcher_spark.operators.scd import scd2_apply_full, scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c1, c2 = "2024-01-11", "2024-01-21"
+    kw = dict(
+        key_cols=["user_id"],
+        order_col="ts",
+        attr_cols=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    hist = scd2_history(ev.filter(F.col("ts") < c1), **kw)
+    hist = scd2_apply_full(
+        hist, ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), **kw
+    )
+    hist = scd2_apply_full(hist, ev.filter(F.col("ts") >= c2), **kw)
+    return hist.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.coalesce(
+            F.unix_micros(F.col("valid_to").cast("timestamp")),
+            F.lit(-1).cast("long"),
+        ).alias("valid_to_us"),
+        "is_current",
+        F.col("n_events").cast("long").alias("n_events"),
+        "event_type",
+    )
+
+
 _CDC_SCD2_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id, event_type,
@@ -2387,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_windowed_counts": _cdc_windowed_counts,
         "events_sessionize": _events_sessionize,
         "cdc_scd2_history": _cdc_scd2_history,
+        "cdc_scd2_incremental": _cdc_scd2_incremental,
         "cdc_asof_lookup": _cdc_asof_lookup,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
@@ -2476,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_windowed_counts": _CDC_WINDOWED_COUNTS_ORACLE,
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
         "cdc_scd2_history": _CDC_SCD2_ORACLE,
+        "cdc_scd2_incremental": _CDC_SCD2_ORACLE,
         "cdc_asof_lookup": _CDC_ASOF_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,

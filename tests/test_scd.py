@@ -14,7 +14,12 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_mongo_watcher_spark.operators.scd import asof_join, scd2_history
+from kafka_mongo_watcher_spark.operators.scd import (
+    asof_join,
+    scd2_apply,
+    scd2_apply_full,
+    scd2_history,
+)
 
 
 def _plan(df) -> str:
@@ -212,3 +217,180 @@ def test_asof_join_brute_force_differential(spark):
         cands = [(t, eid) for (bk, t, eid, _) in build_rows if bk == k and t <= pt]
         want = max(cands) if cands else (None, None)
         assert got[tag] == want, (tag, got[tag], want)
+
+
+# ---------------------------------------------------------------------------
+# deletes + incremental maintenance (scd2_apply)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_delete_closes_without_consuming_version(spark):
+    rows = [
+        # key 1: A, delete, delete(redelivered), B  -> v1 closed at 20, v2 open
+        (1, 10, 1, "A", False),
+        (1, 20, 2, None, True),
+        (1, 25, 3, None, True),
+        (1, 40, 4, "B", False),
+        # key 2: delete-only stream -> nothing emitted
+        (2, 10, 5, None, True),
+        # key 3: A, delete -> one closed row, no current row
+        (3, 10, 6, "A", False),
+        (3, 30, 7, None, True),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, eid int, a string, del boolean")
+    hist = scd2_history(
+        df, key_cols=["k"], order_col="t", attr_cols=["a"],
+        tie_breakers=["eid"], delete_col="del",
+    )
+    got = {(r["k"], r["version"]): r.asDict() for r in hist.collect()}
+    assert set(got) == {(1, 1), (1, 2), (3, 1)}  # contiguous versions, no key 2
+    assert got[(1, 1)]["valid_to"] == 20 and got[(1, 1)]["is_current"] is False
+    assert got[(1, 2)]["a"] == "B" and got[(1, 2)]["is_current"] is True
+    assert got[(1, 2)]["version"] == 2  # delete run consumed no version
+    assert got[(3, 1)]["valid_to"] == 30 and got[(3, 1)]["is_current"] is False
+
+
+def test_scd2_apply_matches_full_recompute_basic(spark):
+    all_rows = [
+        (1, 10, 1, "A"), (1, 20, 2, "A"), (1, 30, 3, "B"),
+        (2, 15, 4, "X"),
+        (1, 40, 5, "B"), (1, 50, 6, "C"),     # batch 2: extend + change
+        (2, 45, 7, "X"),                       # batch 2: extend
+        (3, 42, 8, "N"),                       # batch 2: brand-new key
+    ]
+    schema = "k int, t int, eid int, a string"
+    full = spark.createDataFrame(all_rows, schema)
+    b1 = spark.createDataFrame(all_rows[:4], schema)
+    b2 = spark.createDataFrame(all_rows[4:], schema)
+    kw = dict(key_cols=["k"], order_col="t", attr_cols=["a"], tie_breakers=["eid"])
+    expect = {tuple(sorted(r.asDict().items())) for r in scd2_history(full, **kw).collect()}
+    inc = scd2_apply_full(scd2_history(b1, **kw), b2, **kw)
+    got = {tuple(sorted(r.asDict().items())) for r in inc.collect()}
+    assert got == expect
+
+
+def test_scd2_apply_delta_touches_only_affected_rows(spark):
+    schema = "k int, t int, eid int, a string"
+    b1 = spark.createDataFrame(
+        [(1, 10, 1, "A"), (1, 20, 2, "B"), (2, 10, 3, "X"), (9, 5, 4, "Z")], schema
+    )
+    b2 = spark.createDataFrame([(1, 30, 5, "C")], schema)
+    kw = dict(key_cols=["k"], order_col="t", attr_cols=["a"], tie_breakers=["eid"])
+    delta = scd2_apply(scd2_history(b1, **kw), b2, **kw).collect()
+    # key 2 / key 9 untouched; key 1 -> close v2, open v3
+    assert {(r["k"], r["version"]) for r in delta} == {(1, 2), (1, 3)}
+    d = {r["version"]: r.asDict() for r in delta}
+    assert d[2]["valid_to"] == 30 and d[2]["is_current"] is False
+    assert d[3]["a"] == "C" and d[3]["is_current"] is True and d[3]["n_events"] == 1
+
+
+def test_scd2_apply_reopens_deleted_key_at_next_version(spark):
+    schema = "k int, t int, eid int, a string, del boolean"
+    b1 = spark.createDataFrame([(1, 10, 1, "A", False), (1, 20, 2, None, True)], schema)
+    b2 = spark.createDataFrame([(1, 50, 3, "B", False)], schema)
+    kw = dict(
+        key_cols=["k"], order_col="t", attr_cols=["a"],
+        tie_breakers=["eid"], delete_col="del",
+    )
+    hist1 = scd2_history(b1, **kw)
+    delta = scd2_apply(hist1, b2, **kw).collect()
+    assert {(r["k"], r["version"]) for r in delta} == {(1, 2)}  # v1 row untouched
+    (row,) = delta
+    assert row["a"] == "B" and row["valid_from"] == 50 and row["is_current"] is True
+
+
+def test_scd2_apply_redelivered_delete_is_noop(spark):
+    schema = "k int, t int, eid int, a string, del boolean"
+    b1 = spark.createDataFrame([(1, 10, 1, "A", False), (1, 20, 2, None, True)], schema)
+    b2 = spark.createDataFrame([(1, 30, 3, None, True)], schema)
+    kw = dict(
+        key_cols=["k"], order_col="t", attr_cols=["a"],
+        tie_breakers=["eid"], delete_col="del",
+    )
+    assert scd2_apply(scd2_history(b1, **kw), b2, **kw).count() == 0
+
+
+def test_scd2_apply_on_late_policies(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    schema = "k int, t int, eid int, a string"
+    b1 = spark.createDataFrame([(1, 10, 1, "A"), (1, 20, 2, "B")], schema)
+    late = spark.createDataFrame([(1, 15, 3, "C"), (1, 30, 4, "D")], schema)
+    kw = dict(key_cols=["k"], order_col="t", attr_cols=["a"], tie_breakers=["eid"])
+    hist = scd2_history(b1, **kw)
+    with pytest.raises(SparkRuntimeException, match="not later than the stored resume point"):
+        scd2_apply(hist, late, **kw).collect()
+    got = {r["version"]: r.asDict() for r in
+           scd2_apply(hist, late, on_late="drop", **kw).collect()}
+    # t=15 dropped; t=30 opens v3 normally
+    assert set(got) == {2, 3} and got[3]["a"] == "D"
+
+
+def test_scd2_apply_convergence_property(spark):
+    """Any batch cut of a random stream (with deletes) folds to the same
+    table as one full recompute — versions, intervals, counts, everything.
+    Mirrors the patch-stream convergence property test."""
+    import random
+
+    rng = random.Random(7)
+    schema = "k int, t int, eid int, a string, del boolean"
+    kw = dict(
+        key_cols=["k"], order_col="t", attr_cols=["a"],
+        tie_breakers=["eid"], delete_col="del",
+    )
+    for trial in range(3):
+        rows = []
+        for eid in range(120):
+            k = rng.randrange(6)
+            rows.append((k, eid * 3 + rng.randrange(3), eid,
+                         rng.choice(["A", "B", "C", None]),
+                         rng.random() < 0.15))
+        rows.sort(key=lambda r: (r[1], r[2]))
+        cuts = sorted(rng.sample(range(1, 119), rng.randrange(1, 4)))
+        bounds = [0, *cuts, 120]
+        batches = [rows[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+        table = scd2_history(spark.createDataFrame(batches[0], schema), **kw)
+        for b in batches[1:]:
+            if not b:
+                continue
+            table = scd2_apply_full(
+                table, spark.createDataFrame(b, schema), on_late="drop", **kw
+            )
+        # Sequential oracle for which rows the drop policy admits: the
+        # per-key resume point is the last kept LIVE event's t, or the
+        # FIRST delete t while deleted (re-deliveries don't advance it);
+        # the guard compares against the resume as of the batch start.
+        resume: dict = {}
+        kept = []
+        for bi, b in enumerate(batches):
+            start = dict(resume)
+            for k, t, eid, a, dl in b:
+                if bi > 0:
+                    st = start.get(k)
+                    if st is not None and t <= st[1]:
+                        continue
+                kept.append((k, t, eid, a, dl))
+                cur = resume.get(k)
+                if dl:
+                    if cur is None or cur[0] == "live":
+                        resume[k] = ("del", t)
+                else:
+                    resume[k] = ("live", t)
+        expect = {
+            tuple(sorted(r.asDict().items()))
+            for r in scd2_history(spark.createDataFrame(kept, schema), **kw).collect()
+        }
+        got = {tuple(sorted(r.asDict().items())) for r in table.collect()}
+        assert got == expect, f"trial {trial} diverged"
+
+
+def test_scd2_apply_plan_no_smj_and_bounded_exchanges(spark):
+    schema = "k int, t int, eid int, a string"
+    b1 = spark.createDataFrame([(1, 10, 1, "A"), (2, 10, 2, "B")], schema)
+    b2 = spark.createDataFrame([(1, 30, 3, "C")], schema)
+    kw = dict(key_cols=["k"], order_col="t", attr_cols=["a"], tie_breakers=["eid"])
+    delta = scd2_apply(scd2_history(b1, **kw), b2, **kw)
+    plan = _plan(delta)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # semi prune of the history
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
