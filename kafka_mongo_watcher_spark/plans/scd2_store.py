@@ -1,0 +1,253 @@
+"""Bucketed on-disk store for an incrementally-maintained SCD2 dimension.
+
+The reference watcher ships raw change events to Kafka
+(/root/reference/internal/app/watcher.go); warehouse consumers that keep a
+type-2 dimension of "what did each document look like over time" must fold
+those events themselves.  `Scd2Store` is that consumer, Spark-side: a
+copy-on-write bucketed parquet table maintained by
+``operators/scd.scd2_apply`` one micro-batch at a time.
+
+Layout (mirrors plans/lake.py's manifest discipline at 1/10th the scope)::
+
+    <path>/_manifests/v{N}.json   per-commit manifest
+    <path>/_latest                atomic pointer (os.replace flip)
+    <path>/data/v{N}/_b={b}/      rewritten bucket directories
+
+Per commit only the buckets whose keys the batch touched are rewritten —
+every other bucket entry keeps pointing at its old directory, so the write
+cost is O(touched buckets' current rows + batch), not O(dimension).  The
+`applied` map fences (source_id, batch_id) exactly like ``LakeTable.merge``
+(plans/lake.py), making checkpoint replays no-ops and the streaming path
+exactly-once.
+
+Scale shape per batch: one bounded collect of ≤ n_buckets touched bucket
+ids, a parquet scan of ONLY those bucket dirs further pruned by
+scd2_apply's broadcast-semi on the batch keys, the O(batch) seed-union
+window chain, and one partitioned write of the touched buckets.  Because
+the history side is a fresh parquet scan (no lineage shared with the batch
+frame), the self-join de-duplication hazard documented on scd2_apply does
+not arise; the delta is still localCheckpoint'd so the anti-join and the
+bucket rewrite evaluate ONE delta, not two.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_mongo_watcher_spark.operators.scd import scd2_apply, scd2_history
+
+
+class Scd2Store:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._load()
+
+    # ---------- manifest plumbing (lake.py:249-283 idiom) ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        key_cols: Sequence[str],
+        order_col: str,
+        attr_cols: Sequence[str],
+        tie_breakers: Sequence[str] = (),
+        delete_col: str | None = None,
+        n_buckets: int = 16,
+    ) -> "Scd2Store":
+        os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "order_col": order_col,
+            "attr_cols": list(attr_cols),
+            "tie_breakers": list(tie_breakers),
+            "delete_col": delete_col,
+            "buckets": {},
+            "applied": {},
+            "stats": {"commits": 0},
+        }
+        cls._write_manifest(path, manifest)
+        cls._flip_latest(path, 0)
+        return cls(spark, path)
+
+    @staticmethod
+    def _write_manifest(path: str, manifest: dict) -> None:
+        mpath = os.path.join(path, "_manifests", f"v{manifest['version']:08d}.json")
+        tmp = mpath + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+
+    @staticmethod
+    def _flip_latest(path: str, version: int) -> None:
+        target = os.path.join(path, "_latest")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, target)  # atomic commit point
+
+    def _load(self) -> None:
+        with open(os.path.join(self.path, "_latest")) as f:
+            version = int(f.read().strip())
+        with open(
+            os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+        ) as f:
+            self.manifest = json.load(f)
+
+    def refresh(self) -> "Scd2Store":
+        self._load()
+        return self
+
+    @property
+    def version(self) -> int:
+        return self.manifest["version"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["n_buckets"]
+
+    def _fold_kwargs(self) -> dict:
+        m = self.manifest
+        return dict(
+            key_cols=m["key_cols"],
+            order_col=m["order_col"],
+            attr_cols=m["attr_cols"],
+            tie_breakers=m["tie_breakers"],
+            delete_col=m["delete_col"],
+        )
+
+    def _bucket_expr(self):
+        m = self.manifest
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in m["key_cols"]]), F.lit(m["n_buckets"])
+        ).cast("int")
+
+    # ---------- read ----------
+
+    def _schema_frame(self, like: DataFrame) -> DataFrame:
+        """Empty frame with the store's history schema, derived from a
+        zero-row fold of a batch-shaped frame (exact column set + types of
+        scd2_history's output — no schema duplication to drift)."""
+        kw = self._fold_kwargs()
+        if kw["delete_col"] is None:
+            kw.pop("delete_col")
+        return scd2_history(like.limit(0), **kw)
+
+    def history(self, bucket_ids=None, *, like: DataFrame | None = None) -> DataFrame:
+        """Current dimension rows (optionally only the given buckets).
+        ``like`` (a batch-shaped frame) is required only while the store has
+        no data files yet, to mint the empty-but-typed frame."""
+        dirs = [
+            os.path.join(self.path, d)
+            for b, d in sorted(self.manifest["buckets"].items())
+            if bucket_ids is None or int(b) in set(bucket_ids)
+        ]
+        if not dirs:
+            if like is None:
+                raise ValueError("empty store: pass `like` for the schema")
+            return self._schema_frame(like)
+        return self.spark.read.parquet(*dirs)
+
+    def snapshot_at(self, instant) -> DataFrame:
+        """Point-in-time dimension view: the row version live at `instant`
+        per key (half-open intervals: valid_from <= t < valid_to)."""
+        h = self.history()
+        t = F.lit(instant)
+        return h.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+        )
+
+    # ---------- write ----------
+
+    def apply_batch(
+        self, batch: DataFrame, *, source_id: str = "dim", batch_id: int = 0
+    ) -> dict:
+        """Fold one micro-batch of events into the dimension (exactly-once
+        via the `applied` fence).  Returns commit stats; a replayed
+        (source_id, batch_id) returns ``{"skipped": True}`` untouched."""
+        self.refresh()
+        m = self.manifest
+        if batch_id in m["applied"].get(source_id, []):
+            return {"skipped": True, "version": m["version"]}
+
+        kw = self._fold_kwargs()
+        if kw["delete_col"] is None:
+            kw.pop("delete_col")
+
+        # Bounded collect: ≤ n_buckets ints (the same bounded-aggregate shape
+        # as LakeTable.merge's bucket-id collect, plans/lake.py).
+        bexpr = self._bucket_expr()
+        touched = sorted(
+            r[0]
+            for r in batch.select(bexpr.alias("_b")).distinct().collect()
+            if r[0] is not None
+        )
+        hist = self.history(touched, like=batch)
+        delta = scd2_apply(hist, batch, **kw).localCheckpoint()
+
+        key_cols = m["key_cols"]
+        replaced = delta.select(*key_cols, "version")
+        out = (
+            hist.join(F.broadcast(replaced), [*key_cols, "version"], "left_anti")
+            .unionByName(delta)
+            .withColumn("_b", bexpr)
+        )
+        new_version = m["version"] + 1
+        out_rel = os.path.join("data", f"v{new_version:08d}")
+        out_dir = os.path.join(self.path, out_rel)
+        n_writers = max(1, min(len(touched) or 1, self.spark.sparkContext.defaultParallelism))
+        (
+            # mode=overwrite: a crash between write and flip leaves a partial
+            # v{N} dir; the replayed epoch recomputes the same N and must be
+            # able to clean it (manifest not flipped => nothing references it)
+            out.repartition(n_writers, "_b")
+            .sortWithinPartitions("_b", *key_cols, "version")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(d.split("=", 1)[1]): os.path.join(out_rel, d)
+            for d in os.listdir(out_dir)
+            if d.startswith("_b=")
+        }
+        n_delta = delta.count()  # checkpointed: no recompute
+        buckets = dict(m["buckets"])
+        for b in touched:
+            # a touched bucket can be absent from `written` only when the
+            # batch produced no emitted rows for a previously-empty bucket
+            # (delete-only stream for a never-seen key): keep it absent
+            if b in written:
+                buckets[str(b)] = written[b]
+        manifest = {
+            **m,
+            "version": new_version,
+            "buckets": buckets,
+            "applied": {
+                **m["applied"],
+                source_id: sorted([*m["applied"].get(source_id, []), batch_id]),
+            },
+            "stats": {"commits": m["stats"].get("commits", 0) + 1},
+        }
+        self._write_manifest(self.path, manifest)
+        self._flip_latest(self.path, new_version)
+        self.manifest = manifest
+        return {
+            "skipped": False,
+            "version": new_version,
+            "touched_buckets": len(touched),
+            "delta_rows": n_delta,
+        }

@@ -15,6 +15,8 @@ exactly-once (/root/reference/internal/kafka/client.go:57-63).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from kafka_mongo_watcher_spark.operators.envelope import (
@@ -157,6 +159,77 @@ def run_replay_stream(
 
             for s, h in restore.items():
                 signal.signal(s, h)
+    return stats
+
+
+def run_dimension_stream(
+    spark: SparkSession,
+    *,
+    log_dir: str,
+    dim_path: str,
+    checkpoint_dir: str,
+    source_id: str = "dim",
+    max_files_per_trigger: int = 1,
+    attr_cols: tuple = ("content_sha256", "lang"),
+    n_buckets: int = 16,
+    on_late: str = "raise",
+) -> list:
+    """Maintain a type-2 SCD dimension of the watched collection as a
+    STREAMING consumer: readStream(event log) → transform (fingerprint) →
+    Scd2Store.apply_batch per epoch (plans/scd2_store.py), keyed
+    (repo, path), ordered by commit_seq, with op='delete' closing the key.
+
+    This is the warehouse-side complement of run_replay_stream: the lake
+    table answers "current state", the dimension answers "state at time T"
+    (store.snapshot_at).  Exactly-once the same way: Spark replays an
+    uncommitted epoch identically from the checkpoint and the store's
+    `applied` fence makes the replay a no-op.
+
+    Precondition: the log must be delivered in per-key commit_seq order
+    across epochs (true for a change-stream tail — the reference's oplog
+    cursor is time-ordered, watch_producer.go — and for replay fixtures
+    written in commit ranges).  Out-of-order feeds either fail loudly
+    (on_late='raise', default — from inside the plan) or drop late events
+    (on_late='drop'); per-key ordering WITHIN one epoch is always handled.
+    Returns per-epoch commit stats."""
+    from pyspark.sql import functions as F
+
+    from kafka_mongo_watcher_spark.plans.scd2_store import Scd2Store
+
+    if not os.path.exists(os.path.join(dim_path, "_latest")):
+        Scd2Store.create(
+            spark,
+            dim_path,
+            key_cols=["repo", "path"],
+            order_col="commit_seq",
+            attr_cols=list(attr_cols),
+            tie_breakers=[],
+            delete_col="is_delete",
+            n_buckets=n_buckets,
+        )
+    stats: list = []
+
+    def fold_batch(batch_df, epoch_id: int):
+        store = Scd2Store(spark, dim_path)
+        prepared = transform_events(batch_df, fingerprint=True).withColumn(
+            "is_delete", F.col("op") == "delete"
+        )
+        s = store.apply_batch(prepared, source_id=source_id, batch_id=epoch_id)
+        s["epoch"] = epoch_id
+        stats.append(s)
+
+    events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    q = (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
     return stats
 
 
