@@ -1776,6 +1776,69 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+def _cdc_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (plans/scd2_store.py snapshot_at
+    semantics): the version live at T per key under the half-open
+    [valid_from, valid_to) convention — the query the SCD2 family exists
+    to serve. The oracle applies the same instant predicate over the
+    independent gaps-and-islands SQL; exactly one row per key with any
+    history at T (no deletes in this fixture)."""
+    from kafka_mongo_watcher_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.lit("2024-01-16").cast("timestamp")
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        order_col="ts",
+        attr_cols=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    live = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+    )
+    return live.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "event_type",
+    )
+
+
+_CDC_SCD2_SNAPSHOT_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM marked
+), grouped AS (
+  SELECT user_id, version, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(event_type) AS event_type
+  FROM versioned GROUP BY user_id, version
+), chained AS (
+  SELECT user_id, version, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+         n_events, event_type
+  FROM grouped
+)
+SELECT user_id, version, epoch_us(valid_from) AS valid_from_us,
+       n_events, event_type
+FROM chained
+WHERE valid_from <= TIMESTAMP '2024-01-16'
+  AND (valid_to IS NULL OR TIMESTAMP '2024-01-16' < valid_to)
+"""
+
+
 def _cdc_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup (operators/scd.py asof_join): every 7th event
     becomes a probe at ts+30min; the build side is events deduped to one
@@ -2427,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "cdc_scd2_history": _cdc_scd2_history,
         "cdc_scd2_incremental": _cdc_scd2_incremental,
+        "cdc_scd2_snapshot": _cdc_scd2_snapshot,
         "cdc_asof_lookup": _cdc_asof_lookup,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
@@ -2517,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSIONIZE_ORACLE,
         "cdc_scd2_history": _CDC_SCD2_ORACLE,
         "cdc_scd2_incremental": _CDC_SCD2_ORACLE,
+        "cdc_scd2_snapshot": _CDC_SCD2_SNAPSHOT_ORACLE,
         "cdc_asof_lookup": _CDC_ASOF_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
