@@ -44,6 +44,21 @@ def main(argv=None) -> int:
     c = sub.add_parser("compact", help="rewrite buckets, purge tombstones")
     c.add_argument("--table", required=True)
 
+    d = sub.add_parser(
+        "dimension",
+        help="maintain the SCD2 warehouse dimension from the event log "
+        "(streaming fold, plans/scd2_store.py)",
+    )
+    d.add_argument("--log-dir", required=True)
+    d.add_argument("--dim", required=True, help="dimension store directory")
+    d.add_argument("--checkpoint", required=True)
+    d.add_argument("--source-id", default="dim")
+    d.add_argument("--max-files-per-trigger", type=int, default=1)
+    d.add_argument("--n-buckets", type=int, default=16)
+    d.add_argument("--on-late", choices=("raise", "drop"), default="raise")
+    d.add_argument("--expire-keep-last", type=int, default=0,
+                   help=">0: GC orphaned version dirs after the run, keeping N versions")
+
     a = p.parse_args(argv)
 
     from kafka_mongo_watcher_spark.metrics import MetricsLog
@@ -127,6 +142,32 @@ def main(argv=None) -> int:
         if mlog:
             mlog.emit(stats)
         print(json.dumps({"mode": "replay", **{k: v for k, v in stats.items() if k != "lineage"}}))
+    elif a.mode == "dimension":
+        from kafka_mongo_watcher_spark.plans.scd2_store import Scd2Store
+        from kafka_mongo_watcher_spark.streaming.run import run_dimension_stream
+
+        stats = run_dimension_stream(
+            spark,
+            log_dir=a.log_dir,
+            dim_path=a.dim,
+            checkpoint_dir=a.checkpoint,
+            source_id=a.source_id,
+            max_files_per_trigger=a.max_files_per_trigger,
+            n_buckets=a.n_buckets,
+            on_late=a.on_late,
+        )
+        gc = (
+            Scd2Store(spark, a.dim).expire_versions(keep_last=a.expire_keep_last)
+            if a.expire_keep_last > 0
+            else {}
+        )
+        print(json.dumps({
+            "mode": "dimension",
+            "epochs": len(stats),
+            "committed": len([s for s in stats if not s.get("skipped")]),
+            "version": Scd2Store(spark, a.dim).version,
+            **gc,
+        }))
     elif a.mode == "compact":
         table = LakeTable(spark, a.table)
         print(json.dumps({"mode": "compact", **table.compact()}))

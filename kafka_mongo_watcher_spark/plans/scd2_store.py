@@ -173,7 +173,12 @@ class Scd2Store:
     # ---------- write ----------
 
     def apply_batch(
-        self, batch: DataFrame, *, source_id: str = "dim", batch_id: int = 0
+        self,
+        batch: DataFrame,
+        *,
+        source_id: str = "dim",
+        batch_id: int = 0,
+        on_late: str = "raise",
     ) -> dict:
         """Fold one micro-batch of events into the dimension (exactly-once
         via the `applied` fence).  Returns commit stats; a replayed
@@ -187,6 +192,13 @@ class Scd2Store:
         if kw["delete_col"] is None:
             kw.pop("delete_col")
 
+        # Rows with a NULL key column are dropped: an SCD2 key must identify
+        # a dimension member, and a null would land in Hive's default
+        # partition outside the bucket map (the ingest path already
+        # quarantines malformed keys to the DLQ before this point).
+        for c in m["key_cols"]:
+            batch = batch.filter(F.col(c).isNotNull())
+
         # Bounded collect: ≤ n_buckets ints (the same bounded-aggregate shape
         # as LakeTable.merge's bucket-id collect, plans/lake.py).
         bexpr = self._bucket_expr()
@@ -196,7 +208,7 @@ class Scd2Store:
             if r[0] is not None
         )
         hist = self.history(touched, like=batch)
-        delta = scd2_apply(hist, batch, **kw).localCheckpoint()
+        delta = scd2_apply(hist, batch, on_late=on_late, **kw).localCheckpoint()
 
         key_cols = m["key_cols"]
         replaced = delta.select(*key_cols, "version")
@@ -251,3 +263,42 @@ class Scd2Store:
             "touched_buckets": len(touched),
             "delta_rows": n_delta,
         }
+
+    # ---------- maintenance ----------
+
+    def expire_versions(self, *, keep_last: int = 1) -> dict:
+        """GC: every COW commit re-homes its touched buckets under a new
+        data/v{N} dir, orphaning the replaced bucket dirs — without this the
+        store's disk footprint grows with every commit forever.  Deletes
+        data dirs referenced by NO manifest among the current one and the
+        `keep_last - 1` before it, then drops the expired manifests
+        (mirrors LakeTable.expire_snapshots' keep-set discipline,
+        plans/lake.py).  Driver-side file ops only — O(versions + buckets),
+        no Spark job."""
+        import shutil
+
+        self.refresh()
+        keep_last = max(1, keep_last)
+        cur = self.manifest["version"]
+        keep_from = max(0, cur - keep_last + 1)
+        live: set = set()
+        mdir = os.path.join(self.path, "_manifests")
+        for v in range(keep_from, cur + 1):
+            p = os.path.join(mdir, f"v{v:08d}.json")
+            if os.path.isfile(p):
+                with open(p) as f:
+                    live.update(
+                        d.split(os.sep)[1] for d in json.load(f)["buckets"].values()
+                    )
+        removed_dirs = removed_manifests = 0
+        data_dir = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(data_dir)):
+            if d not in live:
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed_dirs += 1
+        for f in sorted(os.listdir(mdir)):
+            v = int(f[1:9]) if f.startswith("v") and f.endswith(".json") else None
+            if v is not None and v < keep_from:
+                os.remove(os.path.join(mdir, f))
+                removed_manifests += 1
+        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}

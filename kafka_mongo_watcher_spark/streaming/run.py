@@ -214,7 +214,9 @@ def run_dimension_stream(
         prepared = transform_events(batch_df, fingerprint=True).withColumn(
             "is_delete", F.col("op") == "delete"
         )
-        s = store.apply_batch(prepared, source_id=source_id, batch_id=epoch_id)
+        s = store.apply_batch(
+            prepared, source_id=source_id, batch_id=epoch_id, on_late=on_late
+        )
         s["epoch"] = epoch_id
         stats.append(s)
 

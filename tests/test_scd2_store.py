@@ -160,3 +160,79 @@ def test_snapshot_at_point_in_time(spark, tmp_path):
     assert snap(25) == {("r", "v2"), ("q", "w1")}
     assert snap(35) == {("q", "w1")}  # r deleted during [30, 40)
     assert snap(45) == {("r", "v3"), ("q", "w1")}
+
+
+def test_store_drops_null_key_rows(spark, tmp_path):
+    store = Scd2Store.create(spark, str(tmp_path / "d"), n_buckets=4, **KW)
+    schema = (
+        "repo string, path string, commit_seq long, content_sha256 string, "
+        "lang string, is_delete boolean"
+    )
+    rows = [
+        ("r", "p", 1, "s1", "py", False),
+        (None, "p", 2, "s2", "py", False),   # null key: dropped, not crashed
+        ("r", None, 3, "s3", "py", False),
+    ]
+    store.apply_batch(spark.createDataFrame(rows, schema), source_id="t", batch_id=0)
+    got = store.history().collect()
+    assert len(got) == 1 and got[0]["content_sha256"] == "s1"
+
+
+def test_expire_versions_gc(spark, tmp_path):
+    import os
+
+    store = Scd2Store.create(spark, str(tmp_path / "d"), n_buckets=2, **KW)
+    schema = (
+        "repo string, path string, commit_seq long, content_sha256 string, "
+        "lang string, is_delete boolean"
+    )
+    for i in range(4):
+        store.apply_batch(
+            spark.createDataFrame([("r", "p", i + 1, f"s{i}", "py", False)], schema),
+            source_id="t", batch_id=i,
+        )
+    data = tmp_path / "d" / "data"
+    assert len(os.listdir(data)) == 4  # one dir per commit, 3 now orphaned
+    before = _rowset(store.history())
+    gc = store.expire_versions(keep_last=1)
+    assert gc["removed_dirs"] == 3 and gc["removed_manifests"] == 4
+    assert len(os.listdir(data)) == 1
+    # current state untouched by GC
+    assert _rowset(Scd2Store(spark, str(tmp_path / "d")).history()) == before
+
+
+def test_cli_dimension_mode(spark, tmp_path):
+    """The real CLI surface (python -m ... dimension) in a subprocess —
+    main() stops its SparkSession on exit, so it must not share the
+    session-scoped test fixture."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ev = generate_events(spark, 1500, n_repos=6, n_paths=8)
+    write_event_log(ev, str(tmp_path / "log"), n_chunks=2)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4",
+           "KMW_DRIVER_MEMORY": "2g"}
+    out = subprocess.run(
+        [sys.executable, "-m", "kafka_mongo_watcher_spark", "dimension",
+         "--log-dir", str(tmp_path / "log"),
+         "--dim", str(tmp_path / "dim"),
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--n-buckets", "4",
+         "--expire-keep-last", "1"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["mode"] == "dimension"
+    assert res["committed"] == 2 and res["version"] == 2
+    assert res["removed_dirs"] == 1  # epoch-1 bucket dirs GC'd, keep_last=1
+    store = Scd2Store(spark, str(tmp_path / "dim"))
+    expect = scd2_history(
+        _prepared(spark, tmp_path / "log"),
+        key_cols=["repo", "path"], order_col="commit_seq",
+        attr_cols=["content_sha256", "lang"], delete_col="is_delete",
+    )
+    assert _rowset(store.history()) == _rowset(expect)
