@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     d.add_argument("--max-files-per-trigger", type=int, default=1)
     d.add_argument("--n-buckets", type=int, default=16)
     d.add_argument("--on-late", choices=("raise", "drop"), default="raise")
+    d.add_argument("--write-mode", choices=("cow", "mor"), default="cow",
+                   help="mor: O(batch) delta appends, reads resolve, compact folds")
+    d.add_argument("--compact", action="store_true",
+                   help="fold MOR deltas into resolved bucket bases after the run")
     d.add_argument("--expire-keep-last", type=int, default=0,
                    help=">0: GC orphaned version dirs after the run, keeping N versions")
 
@@ -155,6 +159,10 @@ def main(argv=None) -> int:
             max_files_per_trigger=a.max_files_per_trigger,
             n_buckets=a.n_buckets,
             on_late=a.on_late,
+            write_mode=a.write_mode,
+        )
+        comp = (
+            Scd2Store(spark, a.dim).compact() if a.compact else {}
         )
         gc = (
             Scd2Store(spark, a.dim).expire_versions(keep_last=a.expire_keep_last)
@@ -166,6 +174,7 @@ def main(argv=None) -> int:
             "epochs": len(stats),
             "committed": len([s for s in stats if not s.get("skipped")]),
             "version": Scd2Store(spark, a.dim).version,
+            **comp,
             **gc,
         }))
     elif a.mode == "compact":

@@ -228,12 +228,21 @@ def scd2_apply(
     tie_breakers: Sequence[str] = (),
     delete_col: str | None = None,
     on_late: str = "raise",
+    seed_tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Incrementally fold a batch of NEW events into an existing SCD2
     table (a frame with ``scd2_history``'s output schema) and return the
     **upsert delta**: every (key, version) row the batch created or
     changed.  MERGE the delta into the dimension store keyed
     ``(*key_cols, version)`` — rows are never deleted, only upserted.
+
+    ``seed_tie_cols``: extra columns ranking DUPLICATE (key, version) rows
+    in ``history`` — needed when the caller hands in an UNRESOLVED
+    merge-on-read union where a version's superseded copies are still
+    present (plans/scd2_store.py MOR mode stamps `_sc`, the store commit):
+    the seed pick becomes argmax(version, *seed_tie_cols), so the latest
+    copy of the max version wins without a pre-resolution shuffle.  With a
+    resolved history (unique versions) it changes nothing.
 
     Invariant (property-tested in tests/test_scd.py): for any split of an
     event stream into batches B1..Bn where each batch's events are
@@ -287,9 +296,10 @@ def scd2_apply(
     # seed (is_current) is an extendable live run; a closed one means the
     # key is in deleted state — modeled as a _del run so any new event
     # opens version base+1 and re-deliveries of the delete collapse.
+    rank = F.struct(F.col("version"), *[F.col(c) for c in seed_tie_cols])
     picked = F.max_by(
         F.struct("valid_from", "valid_to", "is_current", "n_events", "last_seen", *attr_cols),
-        F.col("version"),
+        rank,
     )
     seeds = pruned.groupBy(*key_cols).agg(
         F.max("version").alias("_ver"), picked.alias("_s")

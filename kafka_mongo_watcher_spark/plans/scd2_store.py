@@ -13,12 +13,24 @@ Layout (mirrors plans/lake.py's manifest discipline at 1/10th the scope)::
     <path>/_latest                atomic pointer (os.replace flip)
     <path>/data/v{N}/_b={b}/      rewritten bucket directories
 
-Per commit only the buckets whose keys the batch touched are rewritten —
-every other bucket entry keeps pointing at its old directory, so the write
-cost is O(touched buckets' current rows + batch), not O(dimension).  The
-`applied` map fences (source_id, batch_id) exactly like ``LakeTable.merge``
-(plans/lake.py), making checkpoint replays no-ops and the streaming path
-exactly-once.
+Two write modes, mirroring the lake engine's COW/MOR split:
+
+* ``cow`` — per commit only the buckets whose keys the batch touched are
+  rewritten; every other bucket entry keeps pointing at its old directory.
+  Write cost O(touched buckets' current rows + batch).  Reads are plain
+  scans.
+* ``mor`` — the upsert delta is blind-APPENDED as new files under the
+  touched buckets (write cost O(batch), independent of dimension size;
+  an SCD2 delta never deletes rows, so append-only is lossless).  Every
+  file carries ``_sc`` (store commit); reads resolve latest-commit-wins
+  per (key, version) with one map-side-combinable hash agg, and
+  ``compact()`` folds the deltas back into resolved bases.  The fold
+  itself reads the unresolved union directly — ``scd2_apply``'s
+  seed_tie_cols ranks superseded copies without a pre-resolution shuffle.
+
+The `applied` map fences (source_id, batch_id) exactly like
+``LakeTable.merge`` (plans/lake.py), making checkpoint replays no-ops and
+the streaming path exactly-once.
 
 Scale shape per batch: one bounded collect of ≤ n_buckets touched bucket
 ids, a parquet scan of ONLY those bucket dirs further pruned by
@@ -63,11 +75,15 @@ class Scd2Store:
         tie_breakers: Sequence[str] = (),
         delete_col: str | None = None,
         n_buckets: int = 16,
+        write_mode: str = "cow",
     ) -> "Scd2Store":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         manifest = {
             "version": 0,
+            "write_mode": write_mode,
             "n_buckets": n_buckets,
             "key_cols": list(key_cols),
             "order_col": order_col,
@@ -75,6 +91,7 @@ class Scd2Store:
             "tie_breakers": list(tie_breakers),
             "delete_col": delete_col,
             "buckets": {},
+            "deltas": {},
             "applied": {},
             "stats": {"commits": 0},
         }
@@ -134,31 +151,63 @@ class Scd2Store:
             F.xxhash64(*[F.col(c) for c in m["key_cols"]]), F.lit(m["n_buckets"])
         ).cast("int")
 
+    @property
+    def write_mode(self) -> str:
+        return self.manifest.get("write_mode", "cow")
+
     # ---------- read ----------
 
     def _schema_frame(self, like: DataFrame) -> DataFrame:
-        """Empty frame with the store's history schema, derived from a
-        zero-row fold of a batch-shaped frame (exact column set + types of
-        scd2_history's output — no schema duplication to drift)."""
+        """Empty frame with the store's RAW file schema (history schema +
+        `_sc`), derived from a zero-row fold of a batch-shaped frame —
+        no schema duplication to drift."""
         kw = self._fold_kwargs()
         if kw["delete_col"] is None:
             kw.pop("delete_col")
-        return scd2_history(like.limit(0), **kw)
+        return scd2_history(like.limit(0), **kw).withColumn(
+            "_sc", F.lit(0).cast("long")
+        )
 
-    def history(self, bucket_ids=None, *, like: DataFrame | None = None) -> DataFrame:
-        """Current dimension rows (optionally only the given buckets).
-        ``like`` (a batch-shaped frame) is required only while the store has
-        no data files yet, to mint the empty-but-typed frame."""
+    def _read_raw(self, bucket_ids=None, *, like: DataFrame | None = None) -> DataFrame:
+        """Union of base + delta files for the selected buckets, UNRESOLVED:
+        in MOR mode a (key, version) may appear once per commit that
+        re-emitted it; `_sc` (store commit) ranks the copies."""
+        m = self.manifest
+        sel = None if bucket_ids is None else set(bucket_ids)
         dirs = [
             os.path.join(self.path, d)
-            for b, d in sorted(self.manifest["buckets"].items())
-            if bucket_ids is None or int(b) in set(bucket_ids)
+            for b, d in sorted(m["buckets"].items())
+            if sel is None or int(b) in sel
         ]
+        for b, dlist in sorted(m.get("deltas", {}).items()):
+            if sel is None or int(b) in sel:
+                dirs.extend(os.path.join(self.path, d) for d in dlist)
         if not dirs:
             if like is None:
                 raise ValueError("empty store: pass `like` for the schema")
             return self._schema_frame(like)
         return self.spark.read.parquet(*dirs)
+
+    def _resolve(self, raw: DataFrame) -> DataFrame:
+        """Latest-commit-wins per (key, version) — the MOR read resolution
+        (one map-side-combinable hash agg, no window, no self-join: the
+        same shape as the lake's LWW resolve, plans/lake.py)."""
+        m = self.manifest
+        keys = [*m["key_cols"], "version"]
+        vals = [c for c in raw.columns if c not in keys and c != "_sc"]
+        packed = raw.groupBy(*keys).agg(
+            F.max_by(F.struct(*vals), F.col("_sc")).alias("_v")
+        )
+        return packed.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
+
+    def history(self, bucket_ids=None, *, like: DataFrame | None = None) -> DataFrame:
+        """Current dimension rows (optionally only the given buckets).
+        ``like`` (a batch-shaped frame) is required only while the store has
+        no data files yet, to mint the empty-but-typed frame."""
+        raw = self._read_raw(bucket_ids, like=like)
+        if self.write_mode == "mor":
+            return self._resolve(raw)
+        return raw.drop("_sc")
 
     def snapshot_at(self, instant) -> DataFrame:
         """Point-in-time dimension view: the row version live at `instant`
@@ -207,17 +256,29 @@ class Scd2Store:
             for r in batch.select(bexpr.alias("_b")).distinct().collect()
             if r[0] is not None
         )
-        hist = self.history(touched, like=batch)
-        delta = scd2_apply(hist, batch, on_late=on_late, **kw).localCheckpoint()
+        mor = self.write_mode == "mor"
+        raw = self._read_raw(touched, like=batch)
+        # the raw union may hold superseded (key, version) copies in MOR
+        # mode; seed_tie_cols makes the latest commit's copy the seed
+        # without a pre-resolution shuffle
+        delta = scd2_apply(
+            raw, batch, on_late=on_late, seed_tie_cols=["_sc"], **kw
+        ).localCheckpoint()
 
         key_cols = m["key_cols"]
-        replaced = delta.select(*key_cols, "version")
-        out = (
-            hist.join(F.broadcast(replaced), [*key_cols, "version"], "left_anti")
-            .unionByName(delta)
-            .withColumn("_b", bexpr)
-        )
         new_version = m["version"] + 1
+        stamped = delta.withColumn("_sc", F.lit(new_version).cast("long"))
+        if mor:
+            # blind append: write ONLY the delta — O(batch) write cost per
+            # commit regardless of dimension size; reads resolve by _sc
+            out = stamped.withColumn("_b", bexpr)
+        else:
+            replaced = delta.select(*key_cols, "version")
+            out = (
+                raw.join(F.broadcast(replaced), [*key_cols, "version"], "left_anti")
+                .unionByName(stamped)
+                .withColumn("_b", bexpr)
+            )
         out_rel = os.path.join("data", f"v{new_version:08d}")
         out_dir = os.path.join(self.path, out_rel)
         n_writers = max(1, min(len(touched) or 1, self.spark.sparkContext.defaultParallelism))
@@ -238,16 +299,22 @@ class Scd2Store:
         }
         n_delta = delta.count()  # checkpointed: no recompute
         buckets = dict(m["buckets"])
+        deltas = {b: list(d) for b, d in m.get("deltas", {}).items()}
         for b in touched:
             # a touched bucket can be absent from `written` only when the
             # batch produced no emitted rows for a previously-empty bucket
             # (delete-only stream for a never-seen key): keep it absent
-            if b in written:
+            if b not in written:
+                continue
+            if mor:
+                deltas.setdefault(str(b), []).append(written[b])
+            else:
                 buckets[str(b)] = written[b]
         manifest = {
             **m,
             "version": new_version,
             "buckets": buckets,
+            "deltas": deltas,
             "applied": {
                 **m["applied"],
                 source_id: sorted([*m["applied"].get(source_id, []), batch_id]),
@@ -265,6 +332,54 @@ class Scd2Store:
         }
 
     # ---------- maintenance ----------
+
+    def compact(self) -> dict:
+        """MOR maintenance: fold every bucket's delta files into a fresh
+        resolved base (latest commit per (key, version)) and clear the
+        delta lists — point reads and history() stop paying the resolve
+        agg until new deltas accumulate.  Buckets with no deltas keep
+        their base untouched.  The commit bumps the version but is not an
+        event batch (the `applied` fence is unchanged)."""
+        self.refresh()
+        m = self.manifest
+        with_deltas = sorted(int(b) for b, d in m.get("deltas", {}).items() if d)
+        if not with_deltas:
+            return {"compacted_buckets": 0, "version": m["version"]}
+        raw = self._read_raw(with_deltas)
+        resolved = self._resolve(raw).withColumn(
+            "_sc", F.lit(m["version"]).cast("long")
+        )
+        new_version = m["version"] + 1
+        out_rel = os.path.join("data", f"v{new_version:08d}")
+        out_dir = os.path.join(self.path, out_rel)
+        bexpr = self._bucket_expr()
+        n_writers = max(
+            1, min(len(with_deltas), self.spark.sparkContext.defaultParallelism)
+        )
+        (
+            resolved.withColumn("_b", bexpr)
+            .repartition(n_writers, "_b")
+            .sortWithinPartitions("_b", *m["key_cols"], "version")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(d.split("=", 1)[1]): os.path.join(out_rel, d)
+            for d in os.listdir(out_dir)
+            if d.startswith("_b=")
+        }
+        buckets = dict(m["buckets"])
+        deltas = {b: list(d) for b, d in m.get("deltas", {}).items()}
+        for b in with_deltas:
+            if b in written:
+                buckets[str(b)] = written[b]
+            deltas.pop(str(b), None)
+        manifest = {**m, "version": new_version, "buckets": buckets, "deltas": deltas}
+        self._write_manifest(self.path, manifest)
+        self._flip_latest(self.path, new_version)
+        self.manifest = manifest
+        return {"compacted_buckets": len(with_deltas), "version": new_version}
 
     def expire_versions(self, *, keep_last: int = 1) -> dict:
         """GC: every COW commit re-homes its touched buckets under a new
@@ -287,9 +402,11 @@ class Scd2Store:
             p = os.path.join(mdir, f"v{v:08d}.json")
             if os.path.isfile(p):
                 with open(p) as f:
-                    live.update(
-                        d.split(os.sep)[1] for d in json.load(f)["buckets"].values()
-                    )
+                    kept = json.load(f)
+                refs = list(kept["buckets"].values())
+                for dlist in kept.get("deltas", {}).values():
+                    refs.extend(dlist)
+                live.update(d.split(os.sep)[1] for d in refs)
         removed_dirs = removed_manifests = 0
         data_dir = os.path.join(self.path, "data")
         for d in sorted(os.listdir(data_dir)):

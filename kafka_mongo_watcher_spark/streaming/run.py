@@ -173,6 +173,7 @@ def run_dimension_stream(
     attr_cols: tuple = ("content_sha256", "lang"),
     n_buckets: int = 16,
     on_late: str = "raise",
+    write_mode: str = "cow",
 ) -> list:
     """Maintain a type-2 SCD dimension of the watched collection as a
     STREAMING consumer: readStream(event log) → transform (fingerprint) →
@@ -206,6 +207,7 @@ def run_dimension_stream(
             tie_breakers=[],
             delete_col="is_delete",
             n_buckets=n_buckets,
+            write_mode=write_mode,
         )
     stats: list = []
 

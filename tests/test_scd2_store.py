@@ -236,3 +236,68 @@ def test_cli_dimension_mode(spark, tmp_path):
         attr_cols=["content_sha256", "lang"], delete_col="is_delete",
     )
     assert _rowset(store.history()) == _rowset(expect)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read mode
+# ---------------------------------------------------------------------------
+
+
+def test_mor_matches_cow_and_batch_recompute(spark, tmp_path):
+    ev = generate_events(spark, 2000, n_repos=8, n_paths=10)
+    prepared = transform_events(ev, fingerprint=True).withColumn(
+        "is_delete", F.col("op") == "delete"
+    )
+    bounds = [0, 700, 1400, 2000]
+    expect = _rowset(scd2_history(
+        prepared, key_cols=["repo", "path"], order_col="commit_seq",
+        attr_cols=["content_sha256", "lang"], delete_col="is_delete",
+    ))
+    store = Scd2Store.create(
+        spark, str(tmp_path / "m"), n_buckets=8, write_mode="mor", **KW
+    )
+    for i in range(3):
+        b = prepared.filter(
+            (F.col("commit_seq") >= bounds[i]) & (F.col("commit_seq") < bounds[i + 1])
+        )
+        s = store.apply_batch(b, source_id="t", batch_id=i)
+        assert not s["skipped"]
+    # pre-compact: resolved read equals the batch recompute
+    assert _rowset(store.history()) == expect
+    assert any(store.manifest["deltas"].values())
+    # compact folds deltas, clears them, and changes NOTHING logically
+    c = store.compact()
+    assert c["compacted_buckets"] > 0
+    assert not any(store.manifest["deltas"].values())
+    assert _rowset(store.history()) == expect
+    # further applies on the compacted base still converge
+    gc = store.expire_versions(keep_last=1)
+    assert gc["removed_dirs"] > 0
+    assert _rowset(store.history()) == expect
+
+
+def test_mor_append_only_write_amplification(spark, tmp_path):
+    """The MOR promise: a commit writes O(batch) rows, not O(dimension)."""
+    import glob
+    import os
+
+    store = Scd2Store.create(
+        spark, str(tmp_path / "m"), n_buckets=4, write_mode="mor", **KW
+    )
+    schema = (
+        "repo string, path string, commit_seq long, content_sha256 string, "
+        "lang string, is_delete boolean"
+    )
+    wide = spark.createDataFrame(
+        [(f"r{i}", "p", i, f"s{i}", "py", False) for i in range(200)], schema
+    )
+    store.apply_batch(wide, source_id="t", batch_id=0)
+    one = spark.createDataFrame([("r0", "p", 999, "s-new", "py", False)], schema)
+    store.apply_batch(one, source_id="t", batch_id=1)
+    v2_files = glob.glob(os.path.join(str(tmp_path / "m"), "data", "v00000002", "**", "*.parquet"), recursive=True)
+    import pyarrow.parquet as pq
+
+    rows_written = sum(pq.ParquetFile(f).metadata.num_rows for f in v2_files)
+    # delta = close r0/v1 + open r0/v2 = 2 rows, NOT the 200-row dimension
+    assert rows_written == 2
+    assert store.history().filter("repo = 'r0'").count() == 2
