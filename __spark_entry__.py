@@ -1776,6 +1776,62 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+def _cdc_scd2_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-disk MOR dimension store round-trip (plans/scd2_store.py): three
+    timestamp-cut micro-batches fold into a bucketed merge-on-read store
+    (blind delta appends + (source,batch) fencing), compact() folds the
+    delta files, and the resolved read must STILL equal the independent
+    full-stream SQL oracle — driver-verifying the storage layer (manifest
+    flips, bucket routing, _sc resolution, compaction), not just the fold
+    operator. Uses a per-call temp dir; one eager job per apply (the
+    documented localCheckpoint) plus the bounded bucket-id collect."""
+    import shutil
+    import tempfile
+
+    from kafka_mongo_watcher_spark.plans.scd2_store import Scd2Store
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="kmw_scd2_contract_")
+    kw = dict(
+        key_cols=["user_id"],
+        order_col="ts",
+        attr_cols=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    try:
+        Scd2Store.create(
+            spark, f"{work}/dim", n_buckets=8, write_mode="mor", **kw
+        )
+        store = Scd2Store(spark, f"{work}/dim")
+        cuts = [None, "2024-01-11", "2024-01-21", None]
+        for i in range(3):
+            b = ev
+            if cuts[i] is not None:
+                b = b.filter(F.col("ts") >= cuts[i])
+            if cuts[i + 1] is not None:
+                b = b.filter(F.col("ts") < cuts[i + 1])
+            store.apply_batch(b, source_id="contract", batch_id=i)
+        store.compact()
+        hist = store.history()
+        out = hist.select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+            F.coalesce(
+                F.unix_micros(F.col("valid_to").cast("timestamp")),
+                F.lit(-1).cast("long"),
+            ).alias("valid_to_us"),
+            "is_current",
+            F.col("n_events").cast("long").alias("n_events"),
+            "event_type",
+        )
+        # the store dir must outlive lazy evaluation by the caller
+        rows = out.localCheckpoint()
+        return rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _cdc_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension read (plans/scd2_store.py snapshot_at
     semantics): the version live at T per key under the half-open
@@ -2491,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": _cdc_scd2_history,
         "cdc_scd2_incremental": _cdc_scd2_incremental,
         "cdc_scd2_snapshot": _cdc_scd2_snapshot,
+        "cdc_scd2_store": _cdc_scd2_store,
         "cdc_asof_lookup": _cdc_asof_lookup,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
@@ -2582,6 +2639,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_history": _CDC_SCD2_ORACLE,
         "cdc_scd2_incremental": _CDC_SCD2_ORACLE,
         "cdc_scd2_snapshot": _CDC_SCD2_SNAPSHOT_ORACLE,
+        "cdc_scd2_store": _CDC_SCD2_ORACLE,
         "cdc_asof_lookup": _CDC_ASOF_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
