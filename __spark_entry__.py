@@ -343,6 +343,51 @@ def _cdc_patch_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics pruned scan (plans/lake.py::LakeTable.scan): the
+    Iceberg min/max data-skipping analog, generalized beyond the key
+    columns. The replayed table is compacted under a small
+    maxRecordsPerFile so each bucket holds several KEY-SORTED files with
+    tight per-file repo bounds — the 100 TB layout in miniature — then a
+    single-repo predicate scan must (a) match the DuckDB final-state
+    oracle filtered the same way and (b) provably skip files driver-side
+    (`last_scan_report`), with the residual Spark filter keeping pruning
+    an IO optimization rather than a correctness dependency. Reference
+    parity: the watcher exposes filtered views of the change stream
+    (README.md custom-pipeline $match); here the same predicate is pushed
+    all the way into manifest-level file skipping."""
+    from kafka_mongo_watcher_spark.operators.envelope import transform_events
+    from kafka_mongo_watcher_spark.plans.lake import LakeTable
+
+    _register(spark, sf_dir, "events")
+    log = spark.sql(_DERIVE_LOG_SQL)
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="kmw_scan_"), n_buckets=16,
+        write_mode="mor",
+    )
+    table.merge(transform_events(log), source_id="scan", batch_id=0)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "60")
+    try:
+        table.compact()
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    out = table.scan([("repo", "=", "org-3/repo-5")]).select(
+        "repo", "path", "commit", "lang", "content_sha256", "commit_seq"
+    )
+    rep = table.last_scan_report
+    # at contract scale every bucket splits into several sorted files, so
+    # the single-repo predicate must skip most of them; the guard is waived
+    # only if the table was too small to split (≤1 file per bucket)
+    assert rep["files_pruned"] > 0 or rep["files_total"] <= table.n_buckets, rep
+    return out
+
+
+_CDC_SCAN_PRUNED_ORACLE = _CDC_APPLY_ORACLE.replace(
+    "WHERE rn = 1 AND op <> 'delete'",
+    "WHERE rn = 1 AND op <> 'delete' AND repo = 'org-3/repo-5'",
+)
+
+
 def _cdc_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening evolution (plans/lake.py::_promote): the table starts
     with `stars int`; the post-split batch delivers bigint values beyond
@@ -2511,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_widening": _cdc_schema_widening,
         "cdc_patch_apply": _cdc_patch_apply,
         "cdc_patch_deferred": _cdc_patch_deferred,
+        "cdc_scan_pruned": _cdc_scan_pruned,
         "cdc_suppressed_replay": _cdc_suppressed_replay,
         "cdc_wap_publish": _cdc_wap_publish,
         "dedup_simhash": _dedup_simhash,
@@ -2603,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         # same sequential per-column semantics; the Spark side differs only
         # in WHERE the fold happens (deferred masked deltas, read-time)
         "cdc_patch_deferred": _CDC_PATCH_APPLY_ORACLE,
+        "cdc_scan_pruned": _CDC_SCAN_PRUNED_ORACLE,
         "cdc_suppressed_replay": _CDC_APPLY_ORACLE,
         "cdc_wap_publish": _CDC_APPLY_ORACLE,
         "dedup_simhash": _simhash_oracle(),

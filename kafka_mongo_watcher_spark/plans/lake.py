@@ -138,18 +138,110 @@ class ConcurrentCommitError(RuntimeError):
     winner's state (batch-id fencing keeps the retry exactly-once)."""
 
 
-def _footer_file_entry(abs_path: str, with_blooms: bool = True):
+def _footer_file_entry(
+    abs_path: str, with_blooms: bool = True, with_colstats: bool = True
+):
     """One manifest file_stats entry: [repo_min, repo_max, path_min,
     path_max, rows] plus, when the writer emitted parquet-native Bloom
     filters on the key columns, a 6th element with their per-row-group
-    offsets (see plans/parquet_bloom.py). Readers tolerate both shapes."""
+    offsets (see plans/parquet_bloom.py), plus (kmw.stats.columns, default
+    on) a 7th element with per-column min/max/null bounds for the non-key
+    columns — the Iceberg manifest lower_bounds/upper_bounds analog that
+    `LakeTable.scan` prunes against. Readers tolerate every prefix shape."""
     s = _footer_key_stats(abs_path)
-    if s is None or not with_blooms:
+    if s is None or not (with_blooms or with_colstats):
         return s
-    from kafka_mongo_watcher_spark.plans.parquet_bloom import bloom_locators
+    locs = None
+    if with_blooms:
+        from kafka_mongo_watcher_spark.plans.parquet_bloom import bloom_locators
 
-    locs = bloom_locators(abs_path)
+        locs = bloom_locators(abs_path)
+    cols = _footer_column_stats(abs_path) if with_colstats else None
+    if cols:
+        return s + [locs or None, cols]
     return s + [locs] if locs else s
+
+
+#: String min/max bounds longer than this are truncated before landing in
+#: the manifest (`content` can be megabytes; its bound must not be).
+_STATS_TRUNC = 64
+
+
+def _trunc_upper(s: str, n: int = _STATS_TRUNC):
+    """A valid UPPER bound for `s` at most `n` chars long: the prefix with
+    its last incrementable codepoint bumped (Iceberg's truncate(n) upper-
+    bound rule — a plain prefix of a max is NOT an upper bound). Returns
+    None when nothing is incrementable (bound then unknown above)."""
+    if len(s) <= n:
+        return s
+    prefix = s[:n]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp >= 0x10FFFF:
+            continue
+        cp += 1
+        if 0xD800 <= cp <= 0xDFFF:  # never emit a lone surrogate
+            cp = 0xE000
+        return prefix[:i] + chr(cp)
+    return None
+
+
+def _footer_column_stats(abs_path: str, md=None):
+    """Per-column [min, max, null_count] bounds from the parquet FOOTER for
+    every flat, non-internal, non-key column with a stats-friendly type
+    (str/int/float/bool) — no data pages touched. A column that is present
+    but whose stats are unusable in ANY row group maps to None (reader must
+    treat it as unknowable); a column ABSENT from the returned dict was not
+    in the file at all (pre-evolution write → provably all-NULL). All-null
+    columns keep [None, None, nulls]. String bounds are truncated to
+    `_STATS_TRUNC` chars (lower: prefix; upper: `_trunc_upper`)."""
+    if md is None:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(abs_path).metadata
+        except Exception:
+            return None
+    out: dict = {}
+    for i in range(md.num_columns):
+        col = md.schema.column(i)
+        name = col.path.split(".", 1)[0] if "." in col.path else col.path
+        if "." in col.path or name.startswith("_") or name in ("repo", "path"):
+            continue
+        lo = hi = None
+        nulls = 0
+        usable = True
+        for rg in range(md.num_row_groups):
+            cc = md.row_group(rg).column(i)
+            st = cc.statistics
+            if st is None or st.null_count is None:
+                usable = False
+                break
+            nulls += st.null_count
+            if st.null_count == md.row_group(rg).num_rows:
+                continue  # all-null row group contributes no bounds
+            if not st.has_min_max:
+                usable = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "surrogateescape")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "surrogateescape")
+            if not isinstance(mn, (str, int, float, bool)) or type(mn) is not type(mx):
+                usable = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if not usable:
+            out[name] = None
+        elif lo is None:
+            out[name] = [None, None, nulls]  # provably all-null
+        elif isinstance(lo, str):
+            out[name] = [lo[:_STATS_TRUNC], _trunc_upper(hi), nulls]
+        else:
+            out[name] = [lo, hi, nulls]
+    return out
 
 
 def _is_ref(e) -> bool:
@@ -443,10 +535,11 @@ class LakeTable:
             return {}
         root = self.path
         with_blooms = _conf(self.spark, "kmw.stats.bloomLocators", "true") == "true"
+        with_cols = _conf(self.spark, "kmw.stats.columns", "auto") != ""
         cap = int(_conf(self.spark, "kmw.stats.driverFooterMax", "64"))
         if len(rel_files) <= cap:
             pairs = [
-                (rf, _footer_file_entry(os.path.join(root, rf), with_blooms))
+                (rf, _footer_file_entry(os.path.join(root, rf), with_blooms, with_cols))
                 for rf in rel_files
             ]
         else:
@@ -454,7 +547,10 @@ class LakeTable:
                 rel_files, max(1, len(rel_files) // 16)
             )
             pairs = rdd.map(
-                lambda rf: (rf, _footer_file_entry(os.path.join(root, rf), with_blooms))
+                lambda rf: (
+                    rf,
+                    _footer_file_entry(os.path.join(root, rf), with_blooms, with_cols),
+                )
             ).collect()
         return {rf: s for rf, s in pairs if s is not None}
 
@@ -640,6 +736,200 @@ class LakeTable:
     def current(self) -> DataFrame:
         """User-facing view: user schema only."""
         return self.snapshot().select(*[n for n, _ in self.manifest["user_schema"]])
+
+    # ---------- stats-pruned scan (Iceberg min/max data skipping) ----------
+
+    _SCAN_OPS = ("=", "<", "<=", ">", ">=", "in", "between")
+
+    @staticmethod
+    def _range_refutes(lo, hi, op, val) -> bool:
+        """True when the [lo, hi] bounds PROVE no stored value satisfies
+        `op val`. `lo`/`hi` may independently be None (unknown on that
+        side — e.g. an untruncatable string upper bound); an unknown side
+        never refutes. Type-mismatched comparisons (str bound vs numeric
+        literal) are inconclusive, never wrong."""
+
+        def _cmp_ok(bound, v) -> bool:
+            return isinstance(bound, str) == isinstance(v, str)
+
+        if op == "in":
+            return all(
+                LakeTable._range_refutes(lo, hi, "=", v) for v in val
+            ) and len(list(val)) > 0
+        if op == "between":
+            v_lo, v_hi = val
+            return (
+                hi is not None and _cmp_ok(hi, v_lo) and hi < v_lo
+            ) or (lo is not None and _cmp_ok(lo, v_hi) and lo > v_hi)
+        if op == "=":
+            if lo is not None and _cmp_ok(lo, val) and val < lo:
+                return True
+            return hi is not None and _cmp_ok(hi, val) and val > hi
+        if op == "<":
+            return lo is not None and _cmp_ok(lo, val) and lo >= val
+        if op == "<=":
+            return lo is not None and _cmp_ok(lo, val) and lo > val
+        if op == ">":
+            return hi is not None and _cmp_ok(hi, val) and hi <= val
+        if op == ">=":
+            return hi is not None and _cmp_ok(hi, val) and hi < val
+        raise ValueError(f"unknown scan op {op!r}")
+
+    @classmethod
+    def _stats_refute(cls, stats, col: str, op: str, val) -> bool:
+        """True only when this file's footer-stats entry PROVES no stored
+        value of `col` can satisfy the (null-rejecting) predicate. Missing
+        stats, missing colstats section, or an unusable column entry are
+        all inconclusive → keep the file. A column ABSENT from a present
+        colstats dict was not in the file (pre-evolution write): every row
+        reads NULL there, which refutes any null-rejecting op."""
+        if not stats:
+            return False
+        rows = stats[4]
+        if col == "repo":
+            return cls._range_refutes(stats[0], stats[1], op, val)
+        if col == "path":
+            # path bounds span ALL repos in the file; only usable when the
+            # file holds a single repo (same caveat as _file_may_contain)
+            if stats[0] != stats[1]:
+                return False
+            return cls._range_refutes(stats[2], stats[3], op, val)
+        colstats = stats[6] if len(stats) >= 7 and isinstance(stats[6], dict) else None
+        if colstats is None:
+            return False
+        if col not in colstats:
+            return True  # column absent from the file → all NULL
+        ent = colstats[col]
+        if ent is None:
+            return False  # present but stats unusable
+        lo, hi, nulls = ent
+        if lo is None and hi is None:
+            return nulls >= rows  # provably all-null
+        return cls._range_refutes(lo, hi, op, val)
+
+    def scan(self, filters, *, include_tombstones: bool = False) -> DataFrame:
+        """Predicate scan with manifest-level FILE SKIPPING — the Iceberg
+        min/max data-skipping analog, generalized beyond the key columns.
+
+        `filters` is a list of `(column, op, value)` clauses AND-ed
+        together; ops: `= < <= > >= in between` (`between` takes a
+        `(lo, hi)` pair, both inclusive). All ops are null-rejecting (SQL
+        semantics: a NULL never matches), which is what makes pruning
+        sound. Columns must come from the user schema or be `commit_seq`.
+
+        Soundness under MOR: a resolved row's final value for any column
+        is a value STORED in some base/delta file of its bucket (full rows
+        store every column; masked patch rows store the columns they
+        write; `_resolve_lww_columns` inheritance only ever picks stored
+        values). So:
+          - buckets with NO pending deltas stream straight off their base
+            files, and any base file whose bounds refute a clause is
+            skipped individually (its rows are final);
+          - buckets WITH deltas are pruned at bucket granularity only:
+            the whole bucket (base + delta chain) is skipped iff EVERY
+            file refutes some clause — then no stored value anywhere in
+            the bucket can satisfy it, hence no resolved row can. Partial
+            pruning inside a hot bucket would break LWW (a dropped newer
+            file could un-shadow an older matching row).
+
+        The residual filter always runs Spark-side after resolution —
+        pruning is purely an IO optimization, never a correctness
+        dependency. Per-call pruning effect lands in
+        `self.last_scan_report`. At 10^10 events the win is the cold
+        majority: compacted buckets hold many key-sorted files with tight
+        bounds, and delta files carry tight per-batch `commit_seq`
+        bounds, so key ranges and "recent changes" predicates touch a
+        tiny fraction of files."""
+        allowed = {n for n, _ in self.manifest["user_schema"]} | {"commit_seq"}
+        parsed = []
+        for clause in filters:
+            col, op, val = clause
+            if op not in self._SCAN_OPS:
+                raise ValueError(f"scan op must be one of {self._SCAN_OPS}, got {op!r}")
+            if col not in allowed:
+                raise ValueError(f"scan column {col!r} not in {sorted(allowed)}")
+            if op == "between":
+                val = tuple(val)
+                if len(val) != 2:
+                    raise ValueError("between takes a (lo, hi) pair")
+            elif op == "in":
+                val = list(val)
+            parsed.append((col, op, val))
+
+        def _refuted(stats) -> bool:
+            return any(self._stats_refute(stats, c, o, v) for c, o, v in parsed)
+
+        deltas = self.manifest["deltas"]
+        masked = self._masked_buckets()
+        ids = sorted(set(self.manifest["buckets"]) | set(deltas), key=int)
+        report = {
+            "files_total": 0,
+            "files_read": 0,
+            "files_pruned": 0,
+            "buckets_pruned": 0,
+        }
+        cold_files: list[str] = []
+        hot: list[str] = []
+        hot_masked: list[str] = []
+        for b in ids:
+            stats = self._stats_of(b)
+            base = (
+                self._entry_files("buckets", b)
+                if b in self.manifest["buckets"]
+                else []
+            )
+            dfiles = self._entry_files("deltas", b) if deltas.get(b) else []
+            report["files_total"] += len(base) + len(dfiles)
+            if not dfiles:
+                kept = [f for f in base if not _refuted(stats.get(f))]
+                report["files_pruned"] += len(base) - len(kept)
+                report["files_read"] += len(kept)
+                cold_files.extend(os.path.join(self.path, f) for f in kept)
+            elif (base + dfiles) and all(_refuted(stats.get(f)) for f in base + dfiles):
+                report["buckets_pruned"] += 1
+                report["files_pruned"] += len(base) + len(dfiles)
+            else:
+                report["files_read"] += len(base) + len(dfiles)
+                (hot_masked if b in masked else hot).append(b)
+        df = self._read_files(cold_files)
+        if hot:
+            df = df.unionByName(
+                self._resolve_lww(
+                    self._read_files(
+                        self._files_of("buckets", hot) + self._files_of("deltas", hot)
+                    )
+                )
+            )
+        if hot_masked:
+            df = df.unionByName(
+                self._resolve_lww_columns(
+                    self._read_files(
+                        self._files_of("buckets", hot_masked)
+                        + self._files_of("deltas", hot_masked)
+                    )
+                )
+            )
+        df = df.drop("_write_mask")
+        if not include_tombstones:
+            df = df.filter(~F.col("is_deleted"))
+        for col, op, val in parsed:
+            c = F.col(col)
+            if op == "=":
+                df = df.filter(c == F.lit(val))
+            elif op == "<":
+                df = df.filter(c < F.lit(val))
+            elif op == "<=":
+                df = df.filter(c <= F.lit(val))
+            elif op == ">":
+                df = df.filter(c > F.lit(val))
+            elif op == ">=":
+                df = df.filter(c >= F.lit(val))
+            elif op == "in":
+                df = df.filter(c.isin(val))
+            else:
+                df = df.filter((c >= F.lit(val[0])) & (c <= F.lit(val[1])))
+        self.last_scan_report = report
+        return df
 
     # ---------- time travel / changelog (Iceberg snapshot + incremental
     # scan analogs; data files are immutable and never garbage-collected
