@@ -293,10 +293,17 @@ def main() -> None:
                  "dedup_minhash_signature", "ann_cosine_topk",
                  "pipeline_group_agg", "pipeline_join_agg",
                  "cdc_custom_pipeline"):
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
+        # min-of-2: these are seconds-scale, and a single shot right after
+        # the heavy lake benches inherits their JVM/GC state (r4: first-shot
+        # cdc_lww_latest measured 4.7 s vs 0.8 s steady-state)
+        vals = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            vals.append(round(time.time() - t0, 3))
+        all_trials[name] = vals
+        queries[name] = min(vals)
 
     total = round(sum(queries.values()), 3)
 

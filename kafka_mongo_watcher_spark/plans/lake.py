@@ -2127,15 +2127,35 @@ class LakeTable:
         return out.unionByName(masked_part) if masked_part is not None else out
 
     def compact_buckets(
-        self, bucket_ids: list[int], *, purge_tombstones: bool = False
+        self,
+        bucket_ids: list[int],
+        *,
+        purge_tombstones: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Bucket-local rewrite: fold each listed bucket's base+delta chain
         into one resolved base file. This is how MOR read amplification stays
         bounded WITHOUT ever rewriting the whole table — only the listed
-        buckets move (Iceberg rewrite_data_files scoped by partition)."""
+        buckets move (Iceberg rewrite_data_files scoped by partition).
+
+        `cluster_by` re-sorts each bucket's output by the given columns
+        (then key, as tiebreak) before writing — the Iceberg
+        rewrite_data_files(sort_order) analog. With a bounded
+        maxRecordsPerFile the bucket then splits into files with TIGHT
+        per-file bounds on the cluster columns, which `scan` prunes
+        individually. Pure sortWithinPartitions: rides the resolve's
+        existing bucket exchange, no extra shuffle. Tradeoff: per-file
+        (repo, path) bounds widen — point `lookup`s fall back to the
+        parquet-native Bloom probes, which don't care about ordering."""
         self._assert_writable()
         ids = sorted({int(b) for b in bucket_ids})
         df = self._bucket_local_resolve(ids, purge_tombstones=purge_tombstones)
+        if cluster_by:
+            known = {n for n, _ in self._full_fields()}
+            bad = [c for c in cluster_by if c not in known]
+            if bad:
+                raise ValueError(f"cluster_by columns not in schema: {bad}")
+            df = df.sortWithinPartitions("_bucket", *cluster_by, "repo", "path")
         new_version = self.version + 1
         rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -2159,8 +2179,8 @@ class LakeTable:
                 new_buckets.pop(str(b), None)  # bucket emptied
             new_stats.pop(str(b), None)  # folded files' bounds all stale
             new_deltas.pop(str(b), None)  # delta chain folded in
-        # compacted output is key-sorted (the lag-window's sort), so these
-        # bounds are as tight as they get
+        # compacted output is key-sorted (the lag-window's sort) unless
+        # cluster_by chose another order; bounds reflect whichever layout
         collected = self._collect_key_stats(
             [f for fs in new_by_bucket.values() for f in fs]
         )
@@ -2395,14 +2415,22 @@ class LakeTable:
         stats["retained_versions"] = sorted(retained & set(versions))
         return stats
 
-    def compact(self, *, purge_tombstones: bool = True) -> dict:
+    def compact(
+        self,
+        *,
+        purge_tombstones: bool = True,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
         """Rewrite every bucket into one resolved file each (folding any MOR
         delta chains); optionally purge tombstones (safe once no older
         batches can replay — Iceberg rewrite_data_files + expire_snapshots
-        analog)."""
+        analog). `cluster_by` re-sorts each bucket by the given columns for
+        tight scan-pruning bounds (see compact_buckets)."""
         all_ids = sorted(
             {int(b) for b in self.manifest["buckets"]}
             | {int(b) for b in self.manifest["deltas"]}
         )
-        out = self.compact_buckets(all_ids, purge_tombstones=purge_tombstones)
+        out = self.compact_buckets(
+            all_ids, purge_tombstones=purge_tombstones, cluster_by=cluster_by
+        )
         return {"version": out["version"], "buckets": len(self.manifest["buckets"])}

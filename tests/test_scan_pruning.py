@@ -312,3 +312,43 @@ def test_scan_on_time_travel_handle(spark, tmp_path):
     assert _rows_set(old.scan([("lang", "=", "py")]), "path") == {("f.py",)}
     assert _rows_set(old.scan([("lang", "=", "go")]), "path") == set()
     assert _rows_set(t.scan([("lang", "=", "go")]), "path") == {("f.py",)}
+
+
+def test_clustered_compaction_tightens_column_bounds(spark, tmp_path):
+    """compact(cluster_by=['lang']) + bounded maxRecordsPerFile: each
+    bucket splits into lang-runs, so a lang predicate prunes cold files
+    INDIVIDUALLY (not just bucket-whole); results match the residual
+    filter, and point lookups stay correct (Bloom probes don't care
+    about ordering)."""
+    t = _mk(spark, tmp_path, name="tc", n_buckets=2)
+    rows = [
+        _row("insert", f"o/r{i}", f"f{i}.py", i, lang=["py", "go", "rs", "ts"][i % 4])
+        for i in range(200)
+    ]
+    t.merge(_b(spark, rows), source_id="s", batch_id=0)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "30")
+    try:
+        t.compact(cluster_by=["lang"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    n_files = sum(len(t._entry_files("buckets", b)) for b in t.manifest["buckets"])
+    assert n_files >= 6  # the split actually happened
+    rep = _assert_scan_equals_filter(t, [("lang", "=", "go")], F.col("lang") == "go")
+    assert rep["files_pruned"] >= n_files // 2
+    # every pruned file provably excludes 'go'; every kept file admits it
+    for b in t.manifest["buckets"]:
+        stats = t._stats_of(b)
+        for f in t._entry_files("buckets", b):
+            lo, hi, _ = stats[f][6]["lang"]
+            refuted = LakeTable._stats_refute(stats[f], "lang", "=", "go")
+            assert refuted == (not (lo <= "go" <= (hi if hi is not None else "\U0010ffff")))
+    # point lookup across the clustered layout
+    got = t.lookup("o/r7", "f7.py").collect()
+    assert len(got) == 1 and got[0]["lang"] == "ts"
+
+
+def test_cluster_by_unknown_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="tb")
+    t.merge(_b(spark, [_row("insert", "o/r", "f.py", 1)]), source_id="s", batch_id=0)
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact(cluster_by=["nope"])
