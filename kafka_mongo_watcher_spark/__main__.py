@@ -63,6 +63,21 @@ def main(argv=None) -> int:
     d.add_argument("--expire-keep-last", type=int, default=0,
                    help=">0: GC orphaned version dirs after the run, keeping N versions")
 
+    t = sub.add_parser(
+        "tail",
+        help="watch a MOR table's changelog as a stream into a parquet dir "
+        "(CDC out of the lake — the reference's watch loop pointed at OUR "
+        "table instead of Mongo)",
+    )
+    t.add_argument("--table", required=True)
+    t.add_argument("--out", required=True, help="parquet dir change rows append to")
+    t.add_argument("--checkpoint", required=True)
+    t.add_argument("--starting-version", default=None,
+                   help="backfill from this version (exclusive); default: watch from now")
+    t.add_argument("--max-versions-per-batch", type=int, default=0)
+    t.add_argument("--available-now", action="store_true",
+                   help="drain the backlog and exit instead of running continuously")
+
     a = p.parse_args(argv)
 
     from kafka_mongo_watcher_spark.metrics import MetricsLog
@@ -180,6 +195,41 @@ def main(argv=None) -> int:
     elif a.mode == "compact":
         table = LakeTable(spark, a.table)
         print(json.dumps({"mode": "compact", **table.compact()}))
+    elif a.mode == "tail":
+        import signal
+
+        from kafka_mongo_watcher_spark.sources.lake_changes import (
+            LakeChangesDataSource,
+        )
+
+        spark.dataSource.register(LakeChangesDataSource)
+        reader = spark.readStream.format("lake_changes").option("path", a.table)
+        if a.starting_version is not None:
+            reader = reader.option("startingVersion", a.starting_version)
+        if a.max_versions_per_batch:
+            reader = reader.option("maxVersionsPerBatch", a.max_versions_per_batch)
+        writer = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", a.out)
+            .option("checkpointLocation", a.checkpoint)
+        )
+        if a.available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(processingTime="2 seconds").start()
+            # K5 parity: SIGINT/SIGTERM stop the stream, exit 0, checkpoint
+            # resumes where it left off
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                signal.signal(sig, lambda *_: q.stop())
+            q.awaitTermination()
+        progress = [p for p in q.recentProgress if p]
+        print(json.dumps({
+            "mode": "tail",
+            "batches": len(progress),
+            "rows": sum(int(p.get("numInputRows", 0)) for p in progress),
+        }))
     spark.stop()
     return 0
 

@@ -192,3 +192,35 @@ def test_stream_schema_matches_changes_schema(spark, tmp_path):
     stream_names = [f.name for f in stream_schema.fields]
     batch_names = [f.name for f in batch_schema.fields]
     assert set(stream_names) == set(batch_names)
+
+
+def test_tail_cli_drains_to_parquet(spark, tmp_path):
+    """`python -m kafka_mongo_watcher_spark tail --available-now` — the
+    consumer-side CLI over the streaming source: backfills the whole
+    changelog into a parquet dir and exits 0 with a resumable checkpoint.
+    Runs as a subprocess because the CLI owns (and stops) its own
+    SparkSession."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t = _mk(spark, tmp_path, n=2)
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4",
+           "KMW_DRIVER_MEMORY": "2g"}
+    p = subprocess.run(
+        [sys.executable, "-m", "kafka_mongo_watcher_spark", "tail",
+         "--table", t.path,
+         "--out", str(tmp_path / "sink"),
+         "--checkpoint", str(tmp_path / "ck_cli"),
+         "--starting-version", "0",
+         "--available-now"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "tail"
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == t.changes(0).count()
+    assert set(out.columns) == set(t.changes(0).columns)
