@@ -575,6 +575,45 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _cdc_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `format("lake_changes")` STREAMING source end-to-end against the
+    changelog oracle (sources/lake_changes.py): the same two-batch MOR
+    table, tailed from the first commit's version through Structured
+    Streaming (Python Data Source, availableNow, checkpointed file sink)
+    — the streamed rows must equal what the batch `changes()` API emits,
+    which is what the reference's consumers would see tailing our table
+    instead of Mongo (internal/mongo/watcher.go). Driver-verified against
+    DuckDB rather than rows-only pytest."""
+    import os
+
+    from kafka_mongo_watcher_spark.sources.lake_changes import (
+        LakeChangesDataSource,
+    )
+
+    table, v0 = _two_batch_mor_table(spark, sf_dir)
+    spark.dataSource.register(LakeChangesDataSource)
+    root = tempfile.mkdtemp(prefix="kmw_stream_")
+    df = (
+        spark.readStream.format("lake_changes")
+        .option("path", table.path)
+        .option("startingVersion", v0)
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", os.path.join(root, "out"))
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.schema(df.schema)
+        .parquet(os.path.join(root, "out"))
+        .select("repo", "path", "commit_seq", "_change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries / oracle pairs
 # ---------------------------------------------------------------------------
@@ -2597,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_lookup": _cdc_asof_lookup,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_changelog": _cdc_changelog,
+        "cdc_stream_changes": _cdc_stream_changes,
         "cdc_point_lookup": _cdc_point_lookup,
         "cdc_rebucket_state": _cdc_rebucket_state,
         "cdc_rollback_state": _cdc_rollback_state,
@@ -2690,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_asof_lookup": _CDC_ASOF_ORACLE,
         "cdc_time_travel": _CDC_TIME_TRAVEL_ORACLE,
         "cdc_changelog": _CDC_CHANGELOG_ORACLE,
+        "cdc_stream_changes": _CDC_CHANGELOG_ORACLE,
         "cdc_point_lookup": _CDC_POINT_LOOKUP_ORACLE,
         "cdc_rebucket_state": _CDC_APPLY_ORACLE,
         "cdc_rollback_state": _CDC_ROLLBACK_ORACLE,
