@@ -184,6 +184,13 @@ def bench_scd2_fold(
                 "is_delete", F.col("op") == "delete"
             )
             store.apply_batch(prepared, source_id="bench", batch_id=i)
+            if i == n_batches // 2 - 1:
+                # periodic maintenance mid-stream (the steady-state cadence
+                # of a long-lived dimension): folds the delta chain AND
+                # writes per-bucket SEED files, so later batches fold
+                # against O(keys) seed rows instead of re-reading the
+                # accumulated version history (plans/scd2_store.py seeds)
+                store.compact()
         store.compact()
         dt = time.time() - t0
         dim_rows = store.history().count()
@@ -195,6 +202,8 @@ def bench_scd2_fold(
             "n_buckets": n_buckets,
             "write_mode": "mor",
             "compact_included": True,
+            "compact_mid_stream": True,
+            "seed_split": bool(store.manifest.get("seeds")),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

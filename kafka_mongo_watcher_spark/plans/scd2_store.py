@@ -168,14 +168,31 @@ class Scd2Store:
             "_sc", F.lit(0).cast("long")
         )
 
-    def _read_raw(self, bucket_ids=None, *, like: DataFrame | None = None) -> DataFrame:
+    def _read_raw(
+        self,
+        bucket_ids=None,
+        *,
+        like: DataFrame | None = None,
+        seeds_only: bool = False,
+    ) -> DataFrame:
         """Union of base + delta files for the selected buckets, UNRESOLVED:
         in MOR mode a (key, version) may appear once per commit that
-        re-emitted it; `_sc` (store commit) ranks the copies."""
+        re-emitted it; `_sc` (store commit) ranks the copies.
+
+        ``seeds_only``: substitute each bucket's SEED file (the latest
+        version row per key, written by ``compact``) for its full base —
+        the incremental fold (``scd2_apply``) only ever consults the
+        max-version row per key, so reading O(keys) seed rows + the
+        post-compaction deltas instead of the O(all versions) history is
+        exactly sufficient, and turns steady-state ingest IO from
+        "re-read the whole dimension every batch" into "read the current
+        rows of the touched buckets". Buckets never compacted fall back
+        to their (delta-only) files unchanged."""
         m = self.manifest
+        seeds = m.get("seeds", {}) if seeds_only else {}
         sel = None if bucket_ids is None else set(bucket_ids)
         dirs = [
-            os.path.join(self.path, d)
+            os.path.join(self.path, seeds.get(b, d))
             for b, d in sorted(m["buckets"].items())
             if sel is None or int(b) in sel
         ]
@@ -257,7 +274,11 @@ class Scd2Store:
             if r[0] is not None
         )
         mor = self.write_mode == "mor"
-        raw = self._read_raw(touched, like=batch)
+        # MOR: the fold only needs each touched key's max-version row, so
+        # compacted buckets are read through their O(keys) seed files (plus
+        # any post-compaction deltas). COW rewrites whole buckets and needs
+        # the full rows regardless.
+        raw = self._read_raw(touched, like=batch, seeds_only=mor)
         # the raw union may hold superseded (key, version) copies in MOR
         # mode; seed_tie_cols makes the latest commit's copy the seed
         # without a pre-resolution shuffle
@@ -369,13 +390,55 @@ class Scd2Store:
             for d in os.listdir(out_dir)
             if d.startswith("_b=")
         }
+        # SEED split: per key, the max-version row of the just-compacted
+        # buckets — the only row the incremental fold ever consults
+        # (operators/scd.py::scd2_apply seed pick). Written as a second
+        # small file set so steady-state apply_batch reads O(keys), not
+        # O(all versions). Computed by re-reading the freshly written
+        # columnar output (sequential local IO) rather than caching the
+        # O(state) resolved frame.
+        seeds_rel = out_rel + "_seeds"
+        seeds_dir = os.path.join(self.path, seeds_rel)
+        full = self.spark.read.parquet(out_dir)
+        keyed = full.groupBy(*m["key_cols"]).agg(
+            F.max_by(
+                F.struct(*[c for c in full.columns if c not in m["key_cols"]]),
+                F.col("version"),
+            ).alias("_v")
+        )
+        seed_rows = keyed.select(
+            *m["key_cols"],
+            *[
+                F.col(f"_v.{c}").alias(c)
+                for c in full.columns
+                if c not in m["key_cols"]
+            ],
+        )
+        (
+            seed_rows.repartition(n_writers, "_b")
+            .sortWithinPartitions("_b", *m["key_cols"])
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(seeds_dir)
+        )
+        seeds_written = {
+            int(d.split("=", 1)[1]): os.path.join(seeds_rel, d)
+            for d in os.listdir(seeds_dir)
+            if d.startswith("_b=")
+        }
         buckets = dict(m["buckets"])
         deltas = {b: list(d) for b, d in m.get("deltas", {}).items()}
+        seeds = dict(m.get("seeds", {}))
         for b in with_deltas:
             if b in written:
                 buckets[str(b)] = written[b]
+            if b in seeds_written:
+                seeds[str(b)] = seeds_written[b]
+            else:
+                seeds.pop(str(b), None)
             deltas.pop(str(b), None)
-        manifest = {**m, "version": new_version, "buckets": buckets, "deltas": deltas}
+        manifest = {**m, "version": new_version, "buckets": buckets,
+                    "deltas": deltas, "seeds": seeds}
         self._write_manifest(self.path, manifest)
         self._flip_latest(self.path, new_version)
         self.manifest = manifest
@@ -404,6 +467,7 @@ class Scd2Store:
                 with open(p) as f:
                     kept = json.load(f)
                 refs = list(kept["buckets"].values())
+                refs.extend(kept.get("seeds", {}).values())
                 for dlist in kept.get("deltas", {}).values():
                     refs.extend(dlist)
                 live.update(d.split(os.sep)[1] for d in refs)

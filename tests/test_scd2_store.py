@@ -301,3 +301,106 @@ def test_mor_append_only_write_amplification(spark, tmp_path):
     # delta = close r0/v1 + open r0/v2 = 2 rows, NOT the 200-row dimension
     assert rows_written == 2
     assert store.history().filter("repo = 'r0'").count() == 2
+
+
+def _mk_prepared(spark, n, seed_batches):
+    ev = generate_events(spark, n, n_repos=8, n_paths=10)
+    return transform_events(ev, fingerprint=True).withColumn(
+        "is_delete", F.col("op") == "delete"
+    )
+
+
+def test_mor_seed_split_apply_after_compact(spark, tmp_path):
+    """Seed-split compaction: `compact` writes per-bucket SEED files (the
+    max-version row per key); post-compaction applies fold against
+    seeds + new deltas instead of the full version history, and still
+    converge to the exact single-shot batch recompute."""
+    prepared = _mk_prepared(spark, 2000, 4)
+    bounds = [0, 500, 1000, 1500, 2000]
+    expect = _rowset(scd2_history(
+        prepared, key_cols=["repo", "path"], order_col="commit_seq",
+        attr_cols=["content_sha256", "lang"], delete_col="is_delete",
+    ))
+    store = Scd2Store.create(
+        spark, str(tmp_path / "m"), n_buckets=8, write_mode="mor", **KW
+    )
+    for i in range(2):
+        store.apply_batch(prepared.filter(
+            (F.col("commit_seq") >= bounds[i]) & (F.col("commit_seq") < bounds[i + 1])
+        ), source_id="t", batch_id=i)
+    store.compact()
+    assert store.manifest["seeds"], "compaction must record seed files"
+    # seeds hold one row per key — strictly fewer than the version history
+    n_keys = store.history().select("repo", "path").distinct().count()
+    n_hist = store.history().count()
+    seed_raw = store._read_raw(
+        list(range(store.n_buckets)), seeds_only=True
+    )
+    assert seed_raw.count() == n_keys < n_hist
+    # history() never reads seeds: no duplicated rows
+    assert store.history().groupBy("repo", "path", "version").count().filter(
+        "count > 1"
+    ).count() == 0
+    # post-compaction batches fold against the seeds and stay exact
+    for i in range(2, 4):
+        store.apply_batch(prepared.filter(
+            (F.col("commit_seq") >= bounds[i]) & (F.col("commit_seq") < bounds[i + 1])
+        ), source_id="t", batch_id=i)
+    assert _rowset(store.history()) == expect
+    # a second compact refreshes the seeds and changes nothing logically
+    store.compact()
+    assert _rowset(store.history()) == expect
+
+
+def test_seed_delete_reinsert_across_compaction(spark, tmp_path):
+    """A key deleted before compaction leaves a CLOSED seed row; a
+    reinsert after compaction must continue version numbering from the
+    seed (not restart at 1) and reopen the key."""
+    schema = (
+        "repo string, path string, commit_seq long, content_sha256 string, "
+        "lang string, is_delete boolean"
+    )
+    store = Scd2Store.create(
+        spark, str(tmp_path / "m"), n_buckets=4, write_mode="mor", **KW
+    )
+    b0 = spark.createDataFrame(
+        [("r", "p", 1, "s1", "py", False), ("r", "p", 2, "s2", "py", False),
+         ("r", "p", 3, None, None, True)],  # delete closes the key
+        schema,
+    )
+    store.apply_batch(b0, source_id="t", batch_id=0)
+    store.compact()
+    assert store.manifest["seeds"]
+    b1 = spark.createDataFrame([("r", "p", 9, "s9", "go", False)], schema)
+    store.apply_batch(b1, source_id="t", batch_id=1)
+    rows = {r["version"]: r for r in store.history().filter("repo='r'").collect()}
+    assert max(rows) == 3 and rows[3]["is_current"] and rows[3]["lang"] == "go"
+    assert rows[2]["valid_to"] is not None  # closed by the delete
+    # late event behind the seed's resume point still raises
+    late = spark.createDataFrame([("r", "p", 5, "sx", "py", False)], schema)
+    with pytest.raises(Exception):
+        store.apply_batch(late, source_id="t", batch_id=2).count()
+
+
+def test_expire_versions_keeps_live_seeds(spark, tmp_path):
+    """GC reachability includes the seeds section: after compact + expire
+    keep_last=1, the seed dirs referenced by the current manifest survive
+    and post-GC applies still fold correctly."""
+    import os as _os
+
+    prepared = _mk_prepared(spark, 1000, 2)
+    store = Scd2Store.create(
+        spark, str(tmp_path / "m"), n_buckets=4, write_mode="mor", **KW
+    )
+    store.apply_batch(prepared.filter("commit_seq < 500"), source_id="t", batch_id=0)
+    store.compact()
+    gc = store.expire_versions(keep_last=1)
+    assert gc["removed_manifests"] >= 1
+    for b, d in store.manifest["seeds"].items():
+        assert _os.path.isdir(_os.path.join(store.path, d)), d
+    store.apply_batch(prepared.filter("commit_seq >= 500"), source_id="t", batch_id=1)
+    expect = _rowset(scd2_history(
+        prepared, key_cols=["repo", "path"], order_col="commit_seq",
+        attr_cols=["content_sha256", "lang"], delete_col="is_delete",
+    ))
+    assert _rowset(store.history()) == expect
