@@ -811,11 +811,14 @@ class LakeTable:
         """Predicate scan with manifest-level FILE SKIPPING — the Iceberg
         min/max data-skipping analog, generalized beyond the key columns.
 
-        `filters` is a list of `(column, op, value)` clauses AND-ed
-        together; ops: `= < <= > >= in between` (`between` takes a
-        `(lo, hi)` pair, both inclusive). All ops are null-rejecting (SQL
-        semantics: a NULL never matches), which is what makes pruning
-        sound. Columns must come from the user schema or be `commit_seq`.
+        `filters` takes pyarrow-style DNF: a flat list of
+        `(column, op, value)` clauses is ONE conjunction; a list of such
+        lists is an OR of conjunctions (a file is skipped only when every
+        disjunct is refuted). Ops: `= < <= > >= in between` (`between`
+        takes a `(lo, hi)` pair, both inclusive). All ops are
+        null-rejecting (SQL semantics: a NULL never matches), which is
+        what makes pruning sound. Columns must come from the user schema
+        or be `commit_seq`.
 
         Soundness under MOR: a resolved row's final value for any column
         is a value STORED in some base/delta file of its bucket (full rows
@@ -841,8 +844,8 @@ class LakeTable:
         bounds, so key ranges and "recent changes" predicates touch a
         tiny fraction of files."""
         allowed = {n for n, _ in self.manifest["user_schema"]} | {"commit_seq"}
-        parsed = []
-        for clause in filters:
+
+        def _parse_clause(clause):
             col, op, val = clause
             if op not in self._SCAN_OPS:
                 raise ValueError(f"scan op must be one of {self._SCAN_OPS}, got {op!r}")
@@ -854,10 +857,23 @@ class LakeTable:
                     raise ValueError("between takes a (lo, hi) pair")
             elif op == "in":
                 val = list(val)
-            parsed.append((col, op, val))
+            return (col, op, val)
+
+        # pyarrow-style DNF: a flat list of (col, op, val) is ONE
+        # conjunction; a list of lists is an OR of conjunctions. A file is
+        # skippable only when EVERY disjunct is refuted (each disjunct is
+        # refuted when ANY of its clauses is).
+        filters = list(filters)
+        if filters and all(isinstance(f, (list,)) for f in filters):
+            groups = [[_parse_clause(c) for c in g] for g in filters]
+        else:
+            groups = [[_parse_clause(c) for c in filters]] if filters else []
 
         def _refuted(stats) -> bool:
-            return any(self._stats_refute(stats, c, o, v) for c, o, v in parsed)
+            return bool(groups) and all(
+                any(self._stats_refute(stats, c, o, v) for c, o, v in g)
+                for g in groups
+            )
 
         deltas = self.manifest["deltas"]
         masked = self._masked_buckets()
@@ -912,22 +928,35 @@ class LakeTable:
         df = df.drop("_write_mask")
         if not include_tombstones:
             df = df.filter(~F.col("is_deleted"))
-        for col, op, val in parsed:
+
+        def _clause_expr(col, op, val):
             c = F.col(col)
             if op == "=":
-                df = df.filter(c == F.lit(val))
-            elif op == "<":
-                df = df.filter(c < F.lit(val))
-            elif op == "<=":
-                df = df.filter(c <= F.lit(val))
-            elif op == ">":
-                df = df.filter(c > F.lit(val))
-            elif op == ">=":
-                df = df.filter(c >= F.lit(val))
-            elif op == "in":
-                df = df.filter(c.isin(val))
-            else:
-                df = df.filter((c >= F.lit(val[0])) & (c <= F.lit(val[1])))
+                return c == F.lit(val)
+            if op == "<":
+                return c < F.lit(val)
+            if op == "<=":
+                return c <= F.lit(val)
+            if op == ">":
+                return c > F.lit(val)
+            if op == ">=":
+                return c >= F.lit(val)
+            if op == "in":
+                return c.isin(val)
+            return (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+
+        cond = None
+        for g in groups:
+            ge = None
+            for col, op, val in g:
+                e = _clause_expr(col, op, val)
+                ge = e if ge is None else ge & e
+            if ge is None:
+                cond = None  # an empty disjunct matches everything
+                break
+            cond = ge if cond is None else cond | ge
+        if cond is not None:
+            df = df.filter(cond)
         self.last_scan_report = report
         return df
 

@@ -352,3 +352,49 @@ def test_cluster_by_unknown_column_raises(spark, tmp_path):
     t.merge(_b(spark, [_row("insert", "o/r", "f.py", 1)]), source_id="s", batch_id=0)
     with pytest.raises(ValueError, match="cluster_by"):
         t.compact(cluster_by=["nope"])
+
+
+def test_scan_dnf_or_groups(spark, tmp_path):
+    """pyarrow-style DNF: a list of clause-lists ORs conjunctions. A file
+    is skipped only when EVERY disjunct refutes; the residual filter is
+    the OR of the groups' AND chains."""
+    t = _mk(spark, tmp_path, name="tdnf", n_buckets=4)
+    rows = [
+        _row("insert", f"o/r{i}", f"f{i}.py", i, lang=["py", "go", "rs", "ts"][i % 4])
+        for i in range(120)
+    ]
+    t.merge(_b(spark, rows), source_id="s", batch_id=0)
+    # ~30 rows per bucket, ~8 per lang run → 8-row files are lang-pure(ish),
+    # so a py- or rs-only file refutes BOTH disjuncts below
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "8")
+    try:
+        t.compact(cluster_by=["lang"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    dnf = [
+        [("lang", "=", "go"), ("commit_seq", "<", 60)],
+        [("lang", "=", "ts")],
+    ]
+    got = _rows_set(t.scan(dnf), "repo", "path", "lang", "commit_seq")
+    want = _rows_set(
+        t.snapshot().filter(
+            ((F.col("lang") == "go") & (F.col("commit_seq") < 60))
+            | (F.col("lang") == "ts")
+        ),
+        "repo", "path", "lang", "commit_seq",
+    )
+    assert got == want and got
+    rep = t.last_scan_report
+    # lang-pure files for py/rs refute BOTH disjuncts and are skipped
+    assert rep["files_pruned"] > 0
+    # a file surviving on either disjunct is read: OR semantics — the
+    # go-files with only commit_seq >= 60 still refute disjunct 1 but the
+    # prune holds only if disjunct 2 (ts) also refutes them
+    flat_equivalent = _rows_set(
+        t.scan([("lang", "in", ["go", "ts"])]), "repo", "path", "lang", "commit_seq"
+    )
+    assert got <= flat_equivalent
+    # an empty disjunct matches everything: no pruning, full snapshot back
+    all_rows = t.scan([[("lang", "=", "go")], []])
+    assert all_rows.count() == t.snapshot().count()
+    assert t.last_scan_report["files_pruned"] == 0
