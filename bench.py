@@ -246,16 +246,22 @@ def main() -> None:
     bench_cdc_replay(spark, n_events, salted=False)
     bench_cdc_replay(spark, n_events, salted=False)
 
-    # Median of 3 timed trials: identical back-to-back replay cycles on this
-    # VM vary up to 2x (same config, same data — JVM/host aging, not the
-    # engine; measured in the r3 counterbalanced A/B), so a single trial is
-    # noise-dominated. Per-trial values recorded for attribution.
+    # MIN of 3 timed trials (same estimator as every other heavy bench
+    # below): identical back-to-back replay cycles on this VM vary up to
+    # 2-3x with a monotone AGING curve — an r4 run measured [75.4, 45.4,
+    # 23.5] for three identical post-warmup cycles (host delivery, not the
+    # engine; the r3 counterbalanced A/B showed the same). The median of
+    # such a curve measures where in the host's recovery the run happened
+    # to start; the min is the reproducible steady state. ALL trial values
+    # are recorded in config.trials for attribution.
     trials = []
-    r = None
+    runs = []
     for _ in range(3):
         r = bench_cdc_replay(spark, n_events, salted=False, probe_lookups=21)
+        runs.append(r)
         trials.append(round(r["seconds"], 3))
-    t = sorted(trials)[1]
+    t = min(trials)
+    r = runs[trials.index(t)]
     queries["cdc_replay"] = t
     lookup_p50_ms = r["lookup_p50_ms"]
     lookup_delta_p50_ms = r.get("lookup_delta_p50_ms")
@@ -360,7 +366,9 @@ def main() -> None:
         "config": {
             "master": master,
             "trials": all_trials,
-            "estimator": {"cdc_replay": "median of 3",
+            "estimator": {"cdc_replay": "min of 3 (host aging curve: r4 "
+                                        "measured [75.4, 45.4, 23.5] for "
+                                        "identical post-warmup cycles)",
                           "heavy_benches": "min of 2 (first run pays shape warmup)"},
             "n_batches": 4,
             "n_buckets": {"cdc_replay": 64, "cdc_replay_salted": 64,
