@@ -172,6 +172,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         the source schema. Missing columns (pre-evolution files) null-fill;
         `_commit_version` / `_change_type` are derived, never stored."""
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         target = _pa_schema(partition.fields)
@@ -180,20 +181,23 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             n = t.num_rows
             if n == 0:
                 continue
-            deleted = t.column("is_deleted").to_pylist()
             arrays = []
             for field in target:
                 if field.name == "_commit_version":
                     arrays.append(
-                        pa.array([partition.version] * n, type=field.type)
+                        pa.repeat(pa.scalar(partition.version, type=field.type), n)
                     )
                 elif field.name == "_change_type":
-                    arrays.append(
-                        pa.array(
-                            ["delete" if d else "upsert" for d in deleted],
-                            type=field.type,
-                        )
+                    # vectorized: a commit's delta can be millions of rows
+                    deleted = pc.fill_null(
+                        t.column("is_deleted").combine_chunks(), False
                     )
+                    ct = pc.if_else(
+                        deleted, pa.scalar("delete"), pa.scalar("upsert")
+                    ).cast(field.type)
+                    if isinstance(ct, pa.ChunkedArray):
+                        ct = pa.concat_arrays(ct.chunks) if ct.num_chunks != 1 else ct.chunk(0)
+                    arrays.append(ct)
                 elif field.name in t.column_names:
                     col = t.column(field.name).cast(field.type).combine_chunks()
                     if isinstance(col, pa.ChunkedArray):
