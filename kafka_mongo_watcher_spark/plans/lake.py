@@ -739,7 +739,7 @@ class LakeTable:
 
     # ---------- stats-pruned scan (Iceberg min/max data skipping) ----------
 
-    _SCAN_OPS = ("=", "<", "<=", ">", ">=", "in", "between")
+    _SCAN_OPS = ("=", "<", "<=", ">", ">=", "in", "between", "is_null", "is_not_null")
 
     @staticmethod
     def _range_refutes(lo, hi, op, val) -> bool:
@@ -786,9 +786,14 @@ class LakeTable:
         if not stats:
             return False
         rows = stats[4]
-        if col == "repo":
-            return cls._range_refutes(stats[0], stats[1], op, val)
-        if col == "path":
+        if col in ("repo", "path"):
+            # key columns are never NULL in committed files
+            if op == "is_null":
+                return True
+            if op == "is_not_null":
+                return False
+            if col == "repo":
+                return cls._range_refutes(stats[0], stats[1], op, val)
             # path bounds span ALL repos in the file; only usable when the
             # file holds a single repo (same caveat as _file_may_contain)
             if stats[0] != stats[1]:
@@ -798,11 +803,17 @@ class LakeTable:
         if colstats is None:
             return False
         if col not in colstats:
-            return True  # column absent from the file → all NULL
+            # column absent from the file → all NULL: matches is_null,
+            # refutes every other (null-rejecting) op
+            return op != "is_null"
         ent = colstats[col]
         if ent is None:
             return False  # present but stats unusable
         lo, hi, nulls = ent
+        if op == "is_null":
+            return nulls == 0  # zero stored NULLs proves no match
+        if op == "is_not_null":
+            return nulls >= rows  # provably all-null
         if lo is None and hi is None:
             return nulls >= rows  # provably all-null
         return cls._range_refutes(lo, hi, op, val)
@@ -814,11 +825,16 @@ class LakeTable:
         `filters` takes pyarrow-style DNF: a flat list of
         `(column, op, value)` clauses is ONE conjunction; a list of such
         lists is an OR of conjunctions (a file is skipped only when every
-        disjunct is refuted). Ops: `= < <= > >= in between` (`between`
-        takes a `(lo, hi)` pair, both inclusive). All ops are
+        disjunct is refuted). Ops: `= < <= > >= in between is_null
+        is_not_null` (`between` takes a `(lo, hi)` pair, both inclusive;
+        the null tests take value None). The comparison ops are
         null-rejecting (SQL semantics: a NULL never matches), which is
-        what makes pruning sound. Columns must come from the user schema
-        or be `commit_seq`.
+        what makes their pruning sound; the null tests prune off the
+        per-file null COUNTS instead (`is_null` refuted by nulls=0,
+        `is_not_null` by all-null — masked partial rows store NULL for
+        every column they don't write, so stored-null counting covers
+        inheritance too). Columns must come from the user schema or be
+        `commit_seq`.
 
         Soundness under MOR: a resolved row's final value for any column
         is a value STORED in some base/delta file of its bucket (full rows
@@ -931,6 +947,10 @@ class LakeTable:
 
         def _clause_expr(col, op, val):
             c = F.col(col)
+            if op == "is_null":
+                return c.isNull()
+            if op == "is_not_null":
+                return c.isNotNull()
             if op == "=":
                 return c == F.lit(val)
             if op == "<":

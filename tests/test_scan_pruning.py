@@ -398,3 +398,43 @@ def test_scan_dnf_or_groups(spark, tmp_path):
     all_rows = t.scan([[("lang", "=", "go")], []])
     assert all_rows.count() == t.snapshot().count()
     assert t.last_scan_report["files_pruned"] == 0
+
+
+def test_scan_null_tests(spark, tmp_path):
+    """is_null / is_not_null prune off the per-file null COUNTS: files
+    with zero stored NULLs refute is_null; all-null (or pre-evolution
+    absent) columns refute is_not_null — and results always equal the
+    residual filter."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tn"), n_buckets=2, write_mode="mor",
+        user_schema=[("repo", "string"), ("path", "string"),
+                     ("commit", "string"), ("content", "string")],
+    )
+    pre_cols = ("partition_id int, offset bigint, op string, repo string, "
+                "path string, commit string, content string, commit_seq bigint")
+    # batch 0: pre-evolution (no lang column at all)
+    t.merge(spark.createDataFrame(
+        [(0, i, "insert", "o/r", f"a{i}.py", f"c{i}", "x", i) for i in range(10)],
+        pre_cols), source_id="s", batch_id=0)
+    # batch 1: lang present and fully non-null
+    t.merge(spark.createDataFrame(
+        [(0, 100 + i, "insert", "o/r", f"b{i}.py", "c", "y", 100 + i, "py")
+         for i in range(10)],
+        pre_cols + ", lang string"), source_id="s", batch_id=1)
+    got_null = _rows_set(t.scan([("lang", "is_null", None)]), "path")
+    want_null = _rows_set(t.snapshot().filter(F.col("lang").isNull()), "path")
+    assert got_null == want_null and len(got_null) == 10
+    got_nn = _rows_set(t.scan([("lang", "is_not_null", None)]), "path")
+    want_nn = _rows_set(t.snapshot().filter(F.col("lang").isNotNull()), "path")
+    assert got_nn == want_nn and len(got_nn) == 10
+    # refutation matrix on synthetic entries
+    sr = LakeTable._stats_refute
+    base = ["r", "r", "a", "z", 10]
+    assert sr(base + [None, {"lang": ["go", "py", 0]}], "lang", "is_null", None)
+    assert not sr(base + [None, {"lang": ["go", "py", 3]}], "lang", "is_null", None)
+    assert sr(base + [None, {"lang": [None, None, 10]}], "lang", "is_not_null", None)
+    assert sr(base + [None, {}], "lang", "is_not_null", None)  # absent column
+    assert not sr(base + [None, {}], "lang", "is_null", None)
+    # key columns are never null in committed files
+    assert sr(base, "repo", "is_null", None)
+    assert not sr(base, "repo", "is_not_null", None)
