@@ -62,6 +62,8 @@ def main(argv=None) -> int:
                    help="fold MOR deltas into resolved bucket bases after the run")
     d.add_argument("--expire-keep-last", type=int, default=0,
                    help=">0: GC orphaned version dirs after the run, keeping N versions")
+    d.add_argument("--compact-every", type=int, default=0,
+                   help=">0 (MOR): compact + refresh seed files every N committed epochs")
 
     t = sub.add_parser(
         "tail",
@@ -175,6 +177,7 @@ def main(argv=None) -> int:
             n_buckets=a.n_buckets,
             on_late=a.on_late,
             write_mode=a.write_mode,
+            compact_every=a.compact_every,
         )
         comp = (
             Scd2Store(spark, a.dim).compact() if a.compact else {}

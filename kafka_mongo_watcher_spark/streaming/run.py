@@ -174,6 +174,7 @@ def run_dimension_stream(
     n_buckets: int = 16,
     on_late: str = "raise",
     write_mode: str = "cow",
+    compact_every: int = 0,
 ) -> list:
     """Maintain a type-2 SCD dimension of the watched collection as a
     STREAMING consumer: readStream(event log) → transform (fingerprint) →
@@ -192,7 +193,15 @@ def run_dimension_stream(
     written in commit ranges).  Out-of-order feeds either fail loudly
     (on_late='raise', default — from inside the plan) or drop late events
     (on_late='drop'); per-key ordering WITHIN one epoch is always handled.
-    Returns per-epoch commit stats."""
+    Returns per-epoch commit stats.
+
+    ``compact_every`` (MOR mode): run `store.compact()` after every N
+    COMMITTED epochs — the steady-state maintenance cadence that keeps the
+    delta chain short and refreshes the per-bucket SEED files, so each
+    apply folds against O(keys) rows instead of the accumulated version
+    history (plans/scd2_store.py seed-split). 0 disables; compaction
+    commits don't advance the `applied` fence, so a crash between an apply
+    and its compaction replays safely."""
     from pyspark.sql import functions as F
 
     from kafka_mongo_watcher_spark.plans.scd2_store import Scd2Store
@@ -221,6 +230,10 @@ def run_dimension_stream(
         )
         s["epoch"] = epoch_id
         stats.append(s)
+        committed = sum(1 for x in stats if not x.get("skipped"))
+        if compact_every and committed and committed % compact_every == 0 and not s.get("skipped"):
+            c = store.compact()
+            s["compacted_buckets"] = c.get("compacted_buckets", 0)
 
     events = stream_event_log(spark, log_dir, max_files_per_trigger=max_files_per_trigger)
     q = (

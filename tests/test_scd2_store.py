@@ -404,3 +404,32 @@ def test_expire_versions_keeps_live_seeds(spark, tmp_path):
         attr_cols=["content_sha256", "lang"], delete_col="is_delete",
     ))
     assert _rowset(store.history()) == expect
+
+
+def test_dimension_stream_compact_every(spark, tmp_path):
+    """Streaming maintenance cadence: compact_every=1 folds + reseeds
+    after every committed epoch; the final dimension still equals the
+    single-shot recompute, deltas stay empty, seeds stay fresh."""
+    ev = generate_events(spark, 1500, n_repos=8, n_paths=10)
+    write_event_log(ev, str(tmp_path / "log"), n_chunks=3)
+    stats = run_dimension_stream(
+        spark,
+        log_dir=str(tmp_path / "log"),
+        dim_path=str(tmp_path / "dim"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        write_mode="mor",
+        compact_every=1,
+    )
+    assert [s.get("skipped", False) for s in stats] == [False] * 3
+    assert all("compacted_buckets" in s for s in stats)
+    store = Scd2Store(spark, str(tmp_path / "dim"))
+    assert store.manifest["seeds"] and not any(
+        store.manifest.get("deltas", {}).values()
+    )
+    expect = _rowset(scd2_history(
+        _prepared(spark, tmp_path / "log"),
+        key_cols=["repo", "path"], order_col="commit_seq",
+        attr_cols=["content_sha256", "lang"], delete_col="is_delete",
+    ))
+    assert _rowset(store.history()) == expect
