@@ -438,3 +438,82 @@ def test_scan_null_tests(spark, tmp_path):
     # key columns are never null in committed files
     assert sr(base, "repo", "is_null", None)
     assert not sr(base, "repo", "is_not_null", None)
+
+
+def test_refutation_soundness_property():
+    """Property (pure Python, no Spark): for ANY value multiset, the entry
+    built the way the writer builds it (min/max with string truncation,
+    null count) NEVER refutes a predicate that some stored value
+    satisfies. Soundness only — refutation may be inconclusive, never
+    wrong."""
+    import random
+
+    from kafka_mongo_watcher_spark.plans.lake import _STATS_TRUNC
+
+    rng = random.Random(20260821)
+
+    def build_entry(values):
+        nonnull = [v for v in values if v is not None]
+        nulls = len(values) - len(nonnull)
+        if not nonnull:
+            return [None, None, nulls]
+        lo, hi = min(nonnull), max(nonnull)
+        if isinstance(lo, str):
+            lo, hi = lo[:_STATS_TRUNC], _trunc_upper(hi)
+        return [lo, hi, nulls]
+
+    def sat(v, op, arg):
+        if v is None:
+            return op == "is_null"
+        if op == "is_null":
+            return False
+        if op == "is_not_null":
+            return True
+        if isinstance(v, str) != isinstance(arg if op not in ("in", "between") else (arg[0] if arg else v), str):
+            return False
+        return {
+            "=": lambda: v == arg,
+            "<": lambda: v < arg,
+            "<=": lambda: v <= arg,
+            ">": lambda: v > arg,
+            ">=": lambda: v >= arg,
+            "in": lambda: v in arg,
+            "between": lambda: arg[0] <= v <= arg[1],
+        }[op]()
+
+    ops = ["=", "<", "<=", ">", ">=", "in", "between", "is_null", "is_not_null"]
+    for trial in range(4000):
+        kind = rng.choice(["int", "str", "longstr"])
+        def rand_val():
+            if rng.random() < 0.15:
+                return None
+            if kind == "int":
+                return rng.randint(-50, 50)
+            n = rng.randint(0, 5 if kind == "str" else 90)
+            return "".join(rng.choice("abxyz") for _ in range(n))
+        values = [rand_val() for _ in range(rng.randint(1, 8))]
+        ent = build_entry(values)
+        stats = ["r", "r", "a", "z", len(values), None, {"c": ent}]
+        op = rng.choice(ops)
+        if op in ("is_null", "is_not_null"):
+            arg = None
+        elif op == "in":
+            arg = [rand_val() for _ in range(rng.randint(0, 3))]
+            arg = [a for a in arg if a is not None]
+        elif op == "between":
+            a, b = (x for x in sorted([rand_val() or 0, rand_val() or 0],
+                                      key=lambda x: (isinstance(x, str), x)))
+            if isinstance(a, str) != isinstance(b, str):
+                continue
+            arg = (a, b)
+        else:
+            arg = rand_val()
+            if arg is None:
+                continue
+        refuted = LakeTable._stats_refute(stats, "c", op, arg)
+        if refuted:
+            offenders = [v for v in values if sat(v, op, arg)]
+            assert not offenders, (
+                f"trial {trial}: refuted but {offenders} satisfy "
+                f"{op} {arg!r} (entry {ent}, values {values})"
+            )
