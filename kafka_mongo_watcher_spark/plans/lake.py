@@ -2175,12 +2175,64 @@ class LakeTable:
             out = out.filter(~F.col("is_deleted"))
         return out.unionByName(masked_part) if masked_part is not None else out
 
+    def _zorder_expr(self, df: DataFrame, cols: list[str], bits: int = 8):
+        """Interleaved-bit Z-address over `cols` — the multi-dimensional
+        clustering key (Iceberg/Delta OPTIMIZE ZORDER BY analog).
+
+        Per column, a rank in [0, 2^bits) is derived from quantile
+        boundaries of the CURRENT data: a bounded hash-ordered sample
+        (TakeOrderedAndProject — never a full sort, same driver-bounded
+        recipe as the IVF sampler, operators/similarity.py) is collected,
+        sorted, and reduced to 2^bits-1 boundaries; the row's rank is a
+        JVM-side HOF fold over that boundary array (O(2^bits) comparisons
+        per row inside codegen, no UDF). Ranks are then bit-interleaved so
+        a lexicographic sort on the Z-address clusters ALL the columns at
+        once — per-file min/max bounds become tight on every zorder column
+        simultaneously, which single-column `cluster_by` cannot do.
+        Works for any orderable column type (numeric + string); all-NULL
+        ranks are 0."""
+        n_marks = (1 << bits) - 1
+        rank_exprs = []
+        for c in cols:
+            sample = [
+                r[0]
+                for r in df.select(c)
+                .where(F.col(c).isNotNull())
+                .orderBy(F.xxhash64(F.col(c), F.lit(0xBEEF)))
+                .limit(64 * (n_marks + 1))
+                .collect()
+            ]
+            sample.sort()
+            if not sample:
+                rank_exprs.append(F.lit(0))
+                continue
+            step = max(1, len(sample) // (n_marks + 1))
+            bounds = sorted({sample[min(i * step, len(sample) - 1)]
+                             for i in range(1, n_marks + 1)})
+            arr = F.array(*[F.lit(b) for b in bounds])
+            rank_exprs.append(
+                F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
+                )
+            )
+        z = F.lit(0)
+        k = len(cols)
+        for j in range(bits):
+            for i, r in enumerate(rank_exprs):
+                bit = F.shiftright(r, j).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, j * k + i)
+        return z
+
     def compact_buckets(
         self,
         bucket_ids: list[int],
         *,
         purge_tombstones: bool = False,
         cluster_by: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> dict:
         """Bucket-local rewrite: fold each listed bucket's base+delta chain
         into one resolved base file. This is how MOR read amplification stays
@@ -2197,14 +2249,31 @@ class LakeTable:
         (repo, path) bounds widen — point `lookup`s fall back to the
         parquet-native Bloom probes, which don't care about ordering."""
         self._assert_writable()
+        if cluster_by and zorder:
+            raise ValueError("cluster_by and zorder are mutually exclusive")
         ids = sorted({int(b) for b in bucket_ids})
+        known = {n for n, _ in self._full_fields()}
+        for arg_name, arg in (("cluster_by", cluster_by), ("zorder", zorder)):
+            bad = [c for c in arg or [] if c not in known]
+            if bad:
+                raise ValueError(f"{arg_name} columns not in schema: {bad}")
         df = self._bucket_local_resolve(ids, purge_tombstones=purge_tombstones)
         if cluster_by:
-            known = {n for n, _ in self._full_fields()}
-            bad = [c for c in cluster_by if c not in known]
-            if bad:
-                raise ValueError(f"cluster_by columns not in schema: {bad}")
             df = df.sortWithinPartitions("_bucket", *cluster_by, "repo", "path")
+        elif zorder:
+            # boundaries are sampled from the RAW bucket files (per-column
+            # pruned scans + TakeOrdered), never from the resolve plan —
+            # superseded versions skewing a quantile is harmless for a
+            # clustering key, re-running the resolve per column is not
+            ids_s = [str(b) for b in ids]
+            raw = self._read_files(
+                self._files_of("buckets", ids_s) + self._files_of("deltas", ids_s)
+            )
+            df = (
+                df.withColumn("_z", self._zorder_expr(raw, zorder))
+                .sortWithinPartitions("_bucket", "_z", "repo", "path")
+                .drop("_z")
+            )
         new_version = self.version + 1
         rel_dir = os.path.join("data", f"v{new_version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -2469,17 +2538,20 @@ class LakeTable:
         *,
         purge_tombstones: bool = True,
         cluster_by: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> dict:
         """Rewrite every bucket into one resolved file each (folding any MOR
         delta chains); optionally purge tombstones (safe once no older
         batches can replay — Iceberg rewrite_data_files + expire_snapshots
-        analog). `cluster_by` re-sorts each bucket by the given columns for
-        tight scan-pruning bounds (see compact_buckets)."""
+        analog). `cluster_by` re-sorts each bucket by the given columns;
+        `zorder` bit-interleaves several columns' quantile ranks so scan
+        bounds tighten on all of them at once (see compact_buckets)."""
         all_ids = sorted(
             {int(b) for b in self.manifest["buckets"]}
             | {int(b) for b in self.manifest["deltas"]}
         )
         out = self.compact_buckets(
-            all_ids, purge_tombstones=purge_tombstones, cluster_by=cluster_by
+            all_ids, purge_tombstones=purge_tombstones,
+            cluster_by=cluster_by, zorder=zorder,
         )
         return {"version": out["version"], "buckets": len(self.manifest["buckets"])}

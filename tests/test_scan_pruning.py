@@ -517,3 +517,53 @@ def test_refutation_soundness_property():
                 f"trial {trial}: refuted but {offenders} satisfy "
                 f"{op} {arg!r} (entry {ent}, values {values})"
             )
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY analog: interleaving (lang, commit_seq) quantile
+    ranks clusters BOTH dimensions at once — single-column predicates on
+    either column prune files, which lexicographic cluster_by on one
+    column cannot give for the other."""
+    t = _mk(spark, tmp_path, name="tz", n_buckets=2)
+    rows = [
+        _row("insert", f"o/r{i}", f"f{i}.py", i, lang=["py", "go", "rs", "ts"][i % 4])
+        for i in range(400)
+    ]
+    t.merge(_b(spark, rows), source_id="s", batch_id=0)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        t.compact(zorder=["lang", "commit_seq"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    n_files = sum(len(t._entry_files("buckets", b)) for b in t.manifest["buckets"])
+    assert n_files >= 12
+    rep_lang = _assert_scan_equals_filter(
+        t, [("lang", "=", "go")], F.col("lang") == "go"
+    )
+    assert rep_lang["files_pruned"] > 0, rep_lang
+    rep_seq = _assert_scan_equals_filter(
+        t, [("commit_seq", "between", (300, 399))],
+        F.col("commit_seq").between(300, 399),
+    )
+    assert rep_seq["files_pruned"] > 0, rep_seq
+    # combined predicate prunes at least as hard as either alone
+    rep_both = _assert_scan_equals_filter(
+        t,
+        [("lang", "=", "go"), ("commit_seq", "between", (300, 399))],
+        (F.col("lang") == "go") & F.col("commit_seq").between(300, 399),
+    )
+    assert rep_both["files_pruned"] >= max(
+        rep_lang["files_pruned"], rep_seq["files_pruned"]
+    )
+    # point lookups still fine over the z-ordered layout
+    got = t.lookup("o/r42", "f42.py").collect()
+    assert len(got) == 1 and got[0]["commit_seq"] == 42
+
+
+def test_zorder_cluster_by_mutually_exclusive(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="tzx")
+    t.merge(_b(spark, [_row("insert", "o/r", "f.py", 1)]), source_id="s", batch_id=0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(cluster_by=["lang"], zorder=["commit_seq"])
+    with pytest.raises(ValueError, match="zorder columns"):
+        t.compact(zorder=["nope"])
