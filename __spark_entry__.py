@@ -606,7 +606,15 @@ def _cdc_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING — reading the sink then would report a partial-write data
+    # diff instead of the real problem (ADVICE r4). Fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "cdc_stream_changes: availableNow drain exceeded 300 s; "
+            "sink is incomplete — not a data mismatch"
+        )
     return (
         spark.read.schema(df.schema)
         .parquet(os.path.join(root, "out"))
@@ -2652,32 +2660,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: inside the cap; only queries that were green in the MOST RECENT driver
 #: run AND are unchanged since may be rotated to the tail. All tail entries
 #: remain covered by tools/check_contract.py (driver-strict since r4) and
-#: by pytest. Current tail: r3-green (CORRECTNESS_r03.json all-green rows),
-#: untouched in round 4.
-_GATE_CAP_TAIL: tuple[str, ...] = (
-    "cdc_pipeline_lookup_unwind",
-    "cdc_pipeline_sort_by_count",
-    "cdc_pipeline_sample",
-    "cdc_pipeline_expressions",
-    "cdc_pipeline_dates",
-    "cdc_pipeline_graph_lookup",
-    "cdc_pipeline_union_with",
-    "cdc_pipeline_densify_fill",
-    "cdc_pipeline_bucket",
-    "cdc_pipeline_bucket_auto",
-    "dedup_simhash",
-    "cdc_windowed_counts",
-    "events_sessionize",
-    "text_chunk",
-    "text_scrub_pii",
-    "corpus_mix_stratified",
-)
+#: by pytest.
+#:
+#: The rotation is PROGRAMMATIC since r5 (VERDICT r4 "what's wrong" #1: the
+#: hand-maintained tail tuple let 5 queries go driver-unverified for two
+#: rounds): each query's last all-green driver round is derived from the
+#: CORRECTNESS_r*.json files the driver commits at the repo root, and the
+#: registry is sorted stalest-first so the cap always covers the queries
+#: whose verdicts would otherwise age. tests/test_contract_gate.py enforces
+#: the invariant against the real files.
+_DRIVER_GATE_CAP = 50
+
+#: Queries whose implementation (or a code path they exercise) changed since
+#: the most recent driver run — forced to the head regardless of their last
+#: verdict. Refresh this set whenever engine code a query exercises changes.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    "cdc_stream_changes",  # awaitTermination timeout check (ADVICE r4)
+    "cdc_scan_pruned",     # colstats explicit-None entries (ADVICE r4)
+    "cdc_point_lookup",    # reads the same footer-stats structures
+    "cdc_rollback_state",  # rollback semantics audited this round
+})
+
+
+def _last_driver_green() -> dict[str, int]:
+    """name -> round of its most recent ALL-GREEN driver verdict, read from
+    the committed CORRECTNESS_r*.json artifacts. Unknown names (never
+    driver-verified) are simply absent — treated as round 0 (stalest)."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for fn in sorted(_os.listdir(root)):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        try:
+            with open(_os.path.join(root, fn)) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), int(m.group(1)))
+    return last
 
 
 def _rotate_for_gate_cap(out: dict) -> dict:
-    head = {k: v for k, v in out.items() if k not in _GATE_CAP_TAIL}
-    tail = {k: out[k] for k in _GATE_CAP_TAIL if k in out}
-    return {**head, **tail}
+    """Order the registry stalest-first: changed/never-verified queries
+    lead, then ascending last-green driver round, ties broken by registry
+    insertion order. With 71 registered queries and a 50 cap, no verdict
+    ever ages more than one extra round: the round-N head is ≥50 entries
+    verified at round N, so the ≤21-entry tail is verified at round N and
+    rotates into the round-N+1 head ahead of every round-N entry."""
+    last = _last_driver_green()
+    names = list(out)
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (
+            0 if names[i] in _CHANGED_THIS_ROUND else last.get(names[i], 0),
+            i,
+        ),
+    )
+    return {names[i]: out[names[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -366,7 +366,22 @@ def main() -> None:
         "config": {
             "master": master,
             "trials": all_trials,
-            "estimator": {"cdc_replay": "min of 3 (host aging curve: r4 "
+            # BOTH estimators per trial set (VERDICT r4 "what's wrong" #2:
+            # r3 graded medians, r4 graded mins — apples-to-oranges). The
+            # headline statistic is PINNED to min from r4 onward; medians
+            # are emitted alongside so any cross-round delta can be read
+            # under either statistic.
+            "trial_stats": {
+                name: {
+                    "min": min(vals),
+                    "median": round(sorted(vals)[len(vals) // 2], 3)
+                    if len(vals) % 2
+                    else round(sum(sorted(vals)[len(vals) // 2 - 1 : len(vals) // 2 + 1]) / 2, 3),
+                }
+                for name, vals in all_trials.items()
+            },
+            "estimator": {"headline": "min (PINNED from r4 onward; medians in trial_stats)",
+                          "cdc_replay": "min of 3 (host aging curve: r4 "
                                         "measured [75.4, 45.4, 23.5] for "
                                         "identical post-warmup cycles)",
                           "heavy_benches": "min of 2 (first run pays shape warmup)"},

@@ -194,7 +194,16 @@ def _footer_column_stats(abs_path: str, md=None):
     treat it as unknowable); a column ABSENT from the returned dict was not
     in the file at all (pre-evolution write → provably all-NULL). All-null
     columns keep [None, None, nulls]. String bounds are truncated to
-    `_STATS_TRUNC` chars (lower: prefix; upper: `_trunc_upper`)."""
+    `_STATS_TRUNC` chars (lower: prefix; upper: `_trunc_upper`).
+
+    Soundness invariant (ADVICE r4 medium): EVERY top-level column whose
+    leaves appear in the file schema gets an entry — columns we decline to
+    track (nested types whose pyarrow leaf paths are dotted, `_`-internal
+    names, the key columns) map to explicit None (inconclusive) so that
+    "absent from the dict" is reserved for columns truly missing from the
+    file. Without this, a physically-present `array<...>` column would be
+    mistaken for a pre-evolution all-NULL column and `scan` would prune
+    every file for a null-rejecting predicate on it."""
     if md is None:
         try:
             import pyarrow.parquet as pq
@@ -207,6 +216,7 @@ def _footer_column_stats(abs_path: str, md=None):
         col = md.schema.column(i)
         name = col.path.split(".", 1)[0] if "." in col.path else col.path
         if "." in col.path or name.startswith("_") or name in ("repo", "path"):
+            out.setdefault(name, None)  # present in file, stats untracked
             continue
         lo = hi = None
         nulls = 0
@@ -2190,7 +2200,17 @@ class LakeTable:
         once — per-file min/max bounds become tight on every zorder column
         simultaneously, which single-column `cluster_by` cannot do.
         Works for any orderable column type (numeric + string); all-NULL
-        ranks are 0."""
+        ranks are 0.
+
+        The Z-address accumulates in BIGINT and `bits` is clamped so
+        `bits * len(cols) <= 63` (ADVICE r4: int accumulation overflowed
+        the sign bit at 4+ columns × 8 bits, silently scrambling the
+        clustering order — correctness was unaffected, bounds are always
+        recomputed, but the layout degraded to near-random)."""
+        k = len(cols)
+        if k > 63:
+            raise ValueError(f"zorder supports at most 63 columns, got {k}")
+        bits = min(bits, 63 // k)
         n_marks = (1 << bits) - 1
         rank_exprs = []
         for c in cols:
@@ -2218,11 +2238,10 @@ class LakeTable:
                     + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
                 )
             )
-        z = F.lit(0)
-        k = len(cols)
+        z = F.lit(0).cast("long")
         for j in range(bits):
             for i, r in enumerate(rank_exprs):
-                bit = F.shiftright(r, j).bitwiseAND(F.lit(1))
+                bit = F.shiftright(r, j).bitwiseAND(F.lit(1)).cast("long")
                 z = z + F.shiftleft(bit, j * k + i)
         return z
 

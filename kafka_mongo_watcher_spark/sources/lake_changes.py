@@ -145,11 +145,19 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(self.path, v)
             kind = m.get("commit_kind", "unknown")
-            if kind in ("compact", "create", "rebucket", "rollback"):
-                continue  # no logical changes / not expressible incrementally
+            if kind in ("compact", "create", "rebucket"):
+                continue  # physical-only rewrites: no logical changes
             if kind != "merge":
+                # Matches the batch changes() API (plans/lake.py): a
+                # rollback DOES change logical table state but is not
+                # expressible as incremental rows — silently skipping it
+                # would let a tailing consumer's downstream copy diverge
+                # forever (ADVICE r4). The consumer must re-sync from a
+                # snapshot and restart the stream past this version.
                 raise ValueError(
-                    f"lake_changes: version {v} has commit_kind {kind!r}"
+                    f"lake_changes: version {v} has commit_kind {kind!r}; "
+                    "the changelog cannot express it incrementally — "
+                    "re-sync from a snapshot and resume after this version"
                 )
             if m.get("write_mode") != "mor":
                 raise ValueError(

@@ -71,3 +71,70 @@ def test_bool_vs_int_dtype_fails():
 def test_canon_rejects_containers(bad):
     with pytest.raises(TypeError):
         canon(bad)
+
+
+# ---------------------------------------------------------------------------
+# Gate-cap rotation invariant (VERDICT r4 "what's wrong" #1): the driver
+# verifies only the first _DRIVER_GATE_CAP queries() entries, so the
+# rotation must guarantee no query's driver verdict ages silently. These
+# tests run against the REAL registry and the REAL committed
+# CORRECTNESS_r*.json artifacts — they fail the moment a rotated-out query
+# was not green in the most recent driver run, which is exactly the gap
+# the hand-maintained tail tuple allowed for two rounds.
+# ---------------------------------------------------------------------------
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _registry():
+    import __spark_entry__ as entry
+
+    return entry, list(entry.queries())
+
+
+def test_tail_only_most_recent_green():
+    entry, names = _registry()
+    last = entry._last_driver_green()
+    assert last, "no CORRECTNESS_r*.json artifacts found"
+    latest = max(last.values())
+    tail = names[entry._DRIVER_GATE_CAP:]
+    for n in tail:
+        assert n not in entry._CHANGED_THIS_ROUND, (
+            f"{n} changed this round but sits outside the driver gate cap"
+        )
+        assert last.get(n, 0) == latest, (
+            f"{n} rotated out with last driver verdict r{last.get(n, 0)} "
+            f"(most recent driver run is r{latest})"
+        )
+
+
+def test_head_is_stalest_first():
+    entry, names = _registry()
+    last = entry._last_driver_green()
+    staleness = [
+        0 if n in entry._CHANGED_THIS_ROUND else last.get(n, 0) for n in names
+    ]
+    assert staleness == sorted(staleness), "registry is not stalest-first"
+
+
+def test_stale_set_fits_in_cap():
+    # If this ever fails, a 50-entry head can no longer cover everything
+    # stale/changed and the rotation strategy itself must be rethought —
+    # fail loudly instead of silently aging a verdict by 2+ rounds.
+    entry, names = _registry()
+    last = entry._last_driver_green()
+    latest = max(last.values())
+    stale = [
+        n for n in names
+        if n in entry._CHANGED_THIS_ROUND or last.get(n, 0) < latest
+    ]
+    assert len(stale) <= entry._DRIVER_GATE_CAP, (
+        f"{len(stale)} stale/changed queries exceed the {entry._DRIVER_GATE_CAP}-cap"
+    )
+
+
+def test_every_query_has_oracle_or_is_declared():
+    entry, names = _registry()
+    oracles = entry.oracle_sql()
+    missing = [n for n in names if n not in oracles]
+    assert missing == [], f"queries without an oracle_sql entry: {missing}"

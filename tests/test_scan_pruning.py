@@ -142,7 +142,11 @@ def test_footer_column_stats_shapes(tmp_path):
     lo, hi, nulls = cols["content"]
     assert len(lo) <= 64 and len(hi) <= 64 and lo <= "x" * 500 <= hi
     assert cols["allnull"] == [None, None, 2]
-    assert "_write_mask" not in cols and "repo" not in cols and "path" not in cols
+    # untracked-but-present columns map to explicit None (ADVICE r4:
+    # "absent from the dict" is reserved for columns truly missing from
+    # the file, which scan() treats as provably all-NULL)
+    assert cols["_write_mask"] is None
+    assert cols["repo"] is None and cols["path"] is None
 
 
 # ---------- end-to-end scan correctness ----------
