@@ -53,13 +53,14 @@ MEDIA_META_DDL = (
     "duration_ms int, codec string, body_mean double"
 )
 
-# BMP + WAV + PNG + baseline JPEG + GIF decode is REAL (byte-level container
-# parse, stdlib zlib, numpy DCT/LZW body math); non-baseline JPEG variants
-# and truncated streams degrade to a REAL metadata probe; formats needing
-# codec libraries still stub.
+# BMP + WAV + PNG + GIF + JPEG (baseline AND progressive) decode is REAL
+# (byte-level container parse, stdlib zlib, numpy DCT/LZW body math);
+# remaining JPEG variants (arithmetic-coded, 12-bit, lossless,
+# hierarchical) and truncated streams degrade to a REAL metadata probe;
+# formats needing codec libraries still stub.
 _DECODE_IS_STUB = False
-DECODE_REAL_FORMATS = ("bmp", "wav", "png", "gif", "jpeg")
-PROBE_REAL_FORMATS = ("jpeg-progressive",)  # non-baseline variants: SOF probe only
+DECODE_REAL_FORMATS = ("bmp", "wav", "png", "gif", "jpeg", "jpeg-progressive")
+PROBE_REAL_FORMATS = ("jpeg-arithmetic", "jpeg-12bit", "jpeg-lossless", "jpeg-hierarchical")
 
 
 # ---------------------------------------------------------------------------
@@ -270,9 +271,10 @@ _JPEG_SOF = frozenset(
 
 
 class _JpegUnsupported(Exception):
-    """Structurally valid JPEG outside the baseline profile (progressive,
-    12-bit, arithmetic coding): pixel decode degrades to the SOF metadata
-    probe instead of the stub."""
+    """Structurally valid JPEG outside the decodable profiles (arithmetic
+    coding, 12-bit, lossless, hierarchical): pixel decode degrades to the
+    SOF metadata probe instead of the stub. Baseline sequential AND
+    progressive (SOF0/1/2) decode for real."""
 
 
 # orthonormal 8x8 DCT basis: spatial = C.T @ coef @ C (IDCT, DCT-III),
@@ -382,14 +384,12 @@ def _jpeg_mag(v: int) -> tuple[int, int]:
     return size, raw
 
 
-def encode_jpeg(
-    rgb: "np.ndarray", *, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """Build a real baseline JFIF JPEG from an (h, w, 3) uint8 array —
-    level shift, 8x8 FDCT, Annex-K quantization, canonical Huffman DC/AC
-    entropy coding, optional 4:2:0 subsampling and DRI restart markers.
-    Test/datagen helper: lossy like any JPEG, so tests compare decoded
-    pixels within quantization tolerance."""
+def _jpeg_prepare(rgb: "np.ndarray", subsample: bool):
+    """Shared encoder front half: RGB → JFIF YCbCr (optional 4:2:0) → padded
+    MCU grid → FDCT → Annex-K quantized int32 blocks. Returns
+    (h, w, planes, comp_blocks, mcux, mcuy) where planes is
+    [(plane, h_i, v_i, qt_id)] and comp_blocks[ci][(by, bx)] is the 8x8
+    quantized coefficient block in raster order."""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     # JFIF YCbCr
@@ -425,6 +425,44 @@ def encode_jpeg(
                 coef = _DCT_C @ blk @ _DCT_C.T
                 blocks[(by, bx)] = np.round(coef / qt).astype(np.int32)
         comp_blocks.append(blocks)
+    return h, w, planes, comp_blocks, mcux, mcuy
+
+
+def _jpeg_headers(h: int, w: int, planes, sof_marker: int,
+                  restart_interval: int, dc_spec, ac_spec) -> bytes:
+    """SOI → JFIF APP0 → DQT×2 → SOF → DHT(dc0+ac0) → [DRI] prefix shared
+    by the sequential and progressive encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out = bytes([0xFF, 0xD8])  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(_JPEG_QT_LUM.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(_JPEG_QT_CHR.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for cid, (_, ch_, cv_, qid) in enumerate(planes, start=1):
+        sof += bytes([cid, (ch_ << 4) | cv_, qid])
+    out += seg(sof_marker, sof)
+    out += seg(0xC4, dht(0, 0, dc_spec) + dht(1, 0, ac_spec))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(
+    rgb: "np.ndarray", *, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Build a real baseline JFIF JPEG from an (h, w, 3) uint8 array —
+    level shift, 8x8 FDCT, Annex-K quantization, canonical Huffman DC/AC
+    entropy coding, optional 4:2:0 subsampling and DRI restart markers.
+    Test/datagen helper: lossy like any JPEG, so tests compare decoded
+    pixels within quantization tolerance."""
+    h, w, planes, comp_blocks, mcux, mcuy = _jpeg_prepare(rgb, subsample)
 
     # entropy-code MCU-interleaved with shared canonical tables
     dc_spec = _jpeg_huff_spec(list(range(12)))
@@ -477,31 +515,241 @@ def encode_jpeg(
     chunks.append(bw_.flush())
     scan = b"".join(chunks)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dht(tc: int, th: int, spec) -> bytes:
-        bits, vals = spec
-        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-
-    out = bytes([0xFF, 0xD8])  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(_JPEG_QT_LUM.ravel()[_JPEG_ZZ].astype(np.uint8)))
-    out += seg(0xDB, bytes([1]) + bytes(_JPEG_QT_CHR.ravel()[_JPEG_ZZ].astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, (_, ch_, cv_, qid) in enumerate(planes, start=1):
-        sof += bytes([cid, (ch_ << 4) | cv_, qid])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, dht(0, 0, dc_spec) + dht(1, 0, ac_spec))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out = _jpeg_headers(h, w, planes, 0xC0, restart_interval, dc_spec, ac_spec)
     sos = bytes([3])
     for cid in (1, 2, 3):
         sos += bytes([cid, 0x00])  # DC table 0 / AC table 0 for all
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += bytes([0xFF, 0xDA]) + struct.pack(">H", len(sos) + 2) + sos
     out += scan + bytes([0xFF, 0xD9])  # EOI
     return out
+
+
+def encode_jpeg_progressive(
+    rgb: "np.ndarray", *, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Build a real PROGRESSIVE JFIF JPEG (SOF2, ITU T.81 Annex G) from an
+    (h, w, 3) uint8 array. Four-scan script exercising both progressive
+    dimensions:
+
+      1. DC first pass, all components interleaved, Al=1
+      2. AC first pass per component, full band Ss=1..63, Al=1
+         (EOBn run-length codes across all-zero bands)
+      3. DC refinement, interleaved, Ah=1 → raw appended bits, no Huffman
+      4. AC refinement per component, Ah=1 → newly-significant coefficients
+         plus buffered correction bits folded into EOB runs
+
+    Same quantized coefficients as `encode_jpeg` (shared `_jpeg_prepare`),
+    so decoding both encodings of one image yields IDENTICAL pixels — the
+    test oracle. Test/datagen helper."""
+    h, w, planes, comp_blocks, mcux, mcuy = _jpeg_prepare(rgb, subsample)
+    ncomp = len(planes)
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    # zig-zag coefficient vector per block, per component
+    zz_blocks = [
+        {bk: blk.ravel()[_JPEG_ZZ] for bk, blk in blocks.items()}
+        for blocks in comp_blocks
+    ]
+    dc_spec = _jpeg_huff_spec(list(range(12)))
+    ac_spec = _jpeg_huff_spec([0x00, 0xF0] + [s for s in range(1, 251) if s not in (0x00, 0xF0)])
+    dc_codes = _jpeg_huff_codes(*dc_spec)
+    ac_codes = _jpeg_huff_codes(*ac_spec)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def comp_dims(ch_: int, cv_: int) -> tuple[int, int]:
+        """Non-interleaved (ceil) block grid of one component (A.2.2)."""
+        return -(-(w * ch_) // (8 * hmax)), -(-(h * cv_) // (8 * vmax))
+
+    out = _jpeg_headers(h, w, planes, 0xC2, restart_interval, dc_spec, ac_spec)
+
+    # ---- scan 1: DC first pass (interleaved, Al=1) ----
+    al = 1
+    bw_ = _JpegBitWriter()
+    chunks: list[bytes] = []
+    pred = [0] * ncomp
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                chunks.append(bw_.flush())
+                chunks.append(bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)]))
+                bw_ = _JpegBitWriter()
+                pred = [0] * ncomp
+            n_mcu += 1
+            for ci, (_, ch_, cv_, _) in enumerate(planes):
+                for vy in range(cv_):
+                    for vx in range(ch_):
+                        dc = int(zz_blocks[ci][(my * cv_ + vy, mx * ch_ + vx)][0]) >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        size, raw = _jpeg_mag(diff)
+                        c, ln = dc_codes[size]
+                        bw_.put(c, ln)
+                        if size:
+                            bw_.put(raw, size)
+    chunks.append(bw_.flush())
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al) + b"".join(chunks)
+
+    # ---- scans 2..: AC first pass per component (Ss=1..63, Al=1) ----
+    for ci, (_, ch_, cv_, _) in enumerate(planes):
+        bwc, bhc = comp_dims(ch_, cv_)
+        bw_ = _JpegBitWriter()
+        chunks = []
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                c, ln = ac_codes[rr << 4]
+                bw_.put(c, ln)
+                if rr:
+                    bw_.put(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        n_blk = 0
+        for by in range(bhc):
+            for bx in range(bwc):
+                if restart_interval and n_blk and n_blk % restart_interval == 0:
+                    flush_eob()
+                    chunks.append(bw_.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + ((n_blk // restart_interval - 1) % 8)]))
+                    bw_ = _JpegBitWriter()
+                n_blk += 1
+                zz = zz_blocks[ci][(by, bx)]
+                # magnitude shift toward zero (G.1.2.2), sign preserved
+                vals = [
+                    (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in zz[1:64]
+                ]
+                nz = [k for k, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(nz[-1] + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[0xF0]  # ZRL
+                        bw_.put(c, ln)
+                        run -= 16
+                    size, raw = _jpeg_mag(v)
+                    c, ln = ac_codes[(run << 4) | size]
+                    bw_.put(c, ln)
+                    bw_.put(raw, size)
+                    run = 0
+                if nz[-1] < 62:  # trailing zeros → this block opens an EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        chunks.append(bw_.flush())
+        out += sos([ci + 1], 1, 63, 0, al) + b"".join(chunks)
+
+    # ---- scan: DC refinement (interleaved, Ah=1 → raw bit per block) ----
+    bw_ = _JpegBitWriter()
+    chunks = []
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                chunks.append(bw_.flush())
+                chunks.append(bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)]))
+                bw_ = _JpegBitWriter()
+            n_mcu += 1
+            for ci, (_, ch_, cv_, _) in enumerate(planes):
+                for vy in range(cv_):
+                    for vx in range(ch_):
+                        dc = int(zz_blocks[ci][(my * cv_ + vy, mx * ch_ + vx)][0])
+                        bw_.put(dc & 1, 1)
+    chunks.append(bw_.flush())
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0) + b"".join(chunks)
+
+    # ---- scans: AC refinement per component (Ah=1, Al=0) ----
+    for ci, (_, ch_, cv_, _) in enumerate(planes):
+        bwc, bhc = comp_dims(ch_, cv_)
+        bw_ = _JpegBitWriter()
+        chunks = []
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered across the EOB run
+
+        def flush_eob_refine() -> None:
+            nonlocal eobrun, pending
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                c, ln = ac_codes[rr << 4]
+                bw_.put(c, ln)
+                if rr:
+                    bw_.put(eobrun - (1 << rr), rr)
+                eobrun = 0
+            for b in pending:
+                bw_.put(b, 1)
+            pending = []
+
+        n_blk = 0
+        for by in range(bhc):
+            for bx in range(bwc):
+                if restart_interval and n_blk and n_blk % restart_interval == 0:
+                    flush_eob_refine()
+                    chunks.append(bw_.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + ((n_blk // restart_interval - 1) % 8)]))
+                    bw_ = _JpegBitWriter()
+                n_blk += 1
+                zz = zz_blocks[ci][(by, bx)]
+                absv = [abs(int(v)) for v in zz[1:64]]  # Al=0: no shift
+                # last NEWLY-significant coefficient (|v| at this precision == 1)
+                eob = max((k for k, a in enumerate(absv) if a == 1), default=-1)
+                run = 0
+                block_br: list[int] = []
+                for k in range(63):
+                    a = absv[k]
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        flush_eob_refine()
+                        c, ln = ac_codes[0xF0]
+                        bw_.put(c, ln)
+                        run -= 16
+                        for b in block_br:
+                            bw_.put(b, 1)
+                        block_br = []
+                    if a > 1:  # history-nonzero: buffer its correction bit
+                        block_br.append(a & 1)
+                        continue
+                    flush_eob_refine()
+                    c, ln = ac_codes[(run << 4) | 1]
+                    bw_.put(c, ln)
+                    bw_.put(1 if int(zz[1 + k]) > 0 else 0, 1)
+                    for b in block_br:
+                        bw_.put(b, 1)
+                    block_br = []
+                    run = 0
+                if run > 0 or block_br:
+                    eobrun += 1
+                    pending.extend(block_br)
+                    if eobrun == 0x7FFF:
+                        flush_eob_refine()
+        flush_eob_refine()
+        chunks.append(bw_.flush())
+        out += sos([ci + 1], 1, 63, 1, 0) + b"".join(chunks)
+
+    return out + bytes([0xFF, 0xD9])  # EOI
 
 
 class _JpegBitReader:
@@ -576,14 +824,17 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def _decode_jpeg_baseline(p: bytes) -> dict:
-    """Full baseline-JPEG pixel decode in numpy + pure Python (public ITU
-    T.81 spec): marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
-    entropy decode with byte-unstuffing and restart markers, dequantize,
+    """Full JPEG pixel decode in numpy + pure Python (public ITU T.81
+    spec): marker walk (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy
+    decode with byte-unstuffing and restart markers, dequantize,
     de-zigzag, matrix IDCT, per-component upsampling, YCbCr->RGB. Supports
-    8-bit sequential (SOF0/SOF1), 1 or 3 components, any sampling factors.
-    Raises _JpegUnsupported for progressive/arithmetic/12-bit (degrades to
-    the SOF probe) and ValueError for malformed streams (degrades to the
-    stub)."""
+    8-bit sequential (SOF0/SOF1) in one pass and PROGRESSIVE (SOF2, Annex
+    G) as a multi-scan coefficient accumulation — spectral selection
+    (Ss/Se bands, EOBn run codes) and successive approximation (Ah/Al
+    first + refinement passes for DC and AC) both handled, 1 or 3
+    components, any sampling factors. Raises _JpegUnsupported for
+    arithmetic/12-bit/lossless/hierarchical (degrades to the SOF probe)
+    and ValueError for malformed streams (degrades to the stub)."""
     if p[:3] != b"\xff\xd8\xff":
         raise ValueError("not jpeg")
     off = 2
@@ -591,7 +842,11 @@ def _decode_jpeg_baseline(p: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart = 0
-    while off + 4 <= len(p):
+    progressive = False
+    coefs: list | None = None
+    grid = None  # (hmax, vmax, mcux, mcuy) once SOF is parsed
+    saw_eoi = False
+    while off + 2 <= len(p):
         if p[off] != 0xFF:
             raise ValueError("bad jpeg marker stream")
         m = p[off + 1]
@@ -601,6 +856,11 @@ def _decode_jpeg_baseline(p: bytes) -> dict:
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             off += 2
             continue
+        if m == 0xD9:  # EOI — only reached by the progressive multi-scan walk
+            saw_eoi = True
+            break
+        if off + 4 > len(p):
+            raise ValueError("truncated jpeg segment header")
         (ln,) = struct.unpack_from(">H", p, off + 2)
         if ln < 2:
             raise ValueError("bad jpeg segment length")
@@ -632,11 +892,12 @@ def _decode_jpeg_baseline(p: bytes) -> dict:
                 huff[(tc, th)] = _jpeg_build_decoder(bits_, vals_)
                 o += 17 + n
         elif m in _JPEG_SOF:
-            if m not in (0xC0, 0xC1):
-                raise _JpegUnsupported(f"non-baseline SOF {m:#x}")
+            if m not in (0xC0, 0xC1, 0xC2):
+                raise _JpegUnsupported(f"unsupported SOF {m:#x}")
+            progressive = m == 0xC2
             prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
-                raise _JpegUnsupported("precision/components outside baseline profile")
+                raise _JpegUnsupported("precision/components outside 8-bit profile")
             if len(body) < 6 + 3 * nc:
                 raise ValueError("truncated jpeg SOF")
             comps = []
@@ -644,6 +905,9 @@ def _decode_jpeg_baseline(p: bytes) -> dict:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             sof = (iw, ih, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            grid = (hmax, vmax, -(-iw // (8 * hmax)), -(-ih // (8 * vmax)))
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:  # SOS
@@ -653,17 +917,221 @@ def _decode_jpeg_baseline(p: bytes) -> dict:
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated jpeg SOS")
-            sel = {}
+            if not progressive:
+                sel = {}
+                for i in range(ns):
+                    cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                    sel[cs] = (tt >> 4, tt & 0xF)
+                for c in comps:
+                    if c["id"] not in sel:
+                        raise ValueError("jpeg scan misses a component")
+                    c["td"], c["ta"] = sel[c["id"]]
+                return _jpeg_decode_scan(p, off + 2 + ln, iw, ih, comps, qt, huff, restart)
+            # progressive: accumulate this scan's coefficients, keep walking
+            hmax, vmax, mcux, mcuy = grid
+            if coefs is None:
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+            scan_comps = []
+            ids = {c["id"]: ci for ci, c in enumerate(comps)}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 0xF)
-            for c in comps:
-                if c["id"] not in sel:
-                    raise ValueError("jpeg scan misses a component")
-                c["td"], c["ta"] = sel[c["id"]]
-            return _jpeg_decode_scan(p, off + 2 + ln, iw, ih, comps, qt, huff, restart)
+                if cs not in ids:
+                    raise ValueError("jpeg scan references unknown component")
+                ci = ids[cs]
+                scan_comps.append((ci, comps[ci], tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            off = _jpeg_prog_scan(
+                p, off + 2 + ln, iw, ih, scan_comps, ss, se,
+                ahal >> 4, ahal & 0xF, coefs, huff, restart,
+                hmax, vmax, mcux, mcuy,
+            )
+            continue
         off += 2 + ln
+    if progressive and coefs is not None:
+        if not saw_eoi:
+            raise ValueError("truncated progressive jpeg (no EOI)")
+        iw, ih, comps = sof
+        for c in comps:
+            if c["tq"] not in qt:
+                raise ValueError("jpeg references missing quant table")
+        return _jpeg_prog_finish(iw, ih, comps, qt, coefs, grid[0], grid[1])
     raise ValueError("jpeg without SOS")
+
+
+def _jpeg_prog_scan(
+    p, off, iw, ih, scan_comps, ss, se, ah, al, coefs, huff, restart,
+    hmax, vmax, mcux, mcuy,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    zig-zag coefficient arrays, returning the offset of the next marker.
+
+    DC scans (Ss=0): interleaved MCU order when the scan holds >1
+    component, else the component's own ceil block grid; first pass codes
+    Huffman diffs shifted left Al, refinement appends one raw bit per
+    block. AC scans (Ss>0): single-component by spec; first pass codes
+    (run,size) symbols plus EOBn end-of-band runs, refinement codes
+    newly-significant ±1<<Al coefficients with correction bits for
+    already-nonzero history (the libjpeg-documented G.1.2.3 bit order)."""
+    r = _JpegBitReader(p, off)
+
+    def expect_rst() -> None:
+        m_ = r.sync_to_marker()
+        if not 0xD0 <= m_ <= 0xD7:
+            raise ValueError("expected jpeg restart marker")
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with nonzero Se")
+        pred = {ci: 0 for ci, *_ in scan_comps}
+        if ah == 0:
+            for _, _, td, _ in scan_comps:
+                if (0, td) not in huff:
+                    raise ValueError("jpeg references missing table")
+
+        def dc_block(ci: int, td: int, by: int, bx: int) -> None:
+            blk = coefs[ci]
+            if ah == 0:
+                s = _jpeg_read_symbol(r, huff[(0, td)])
+                diff = _jpeg_extend(r.bits(s), s) if s else 0
+                pred[ci] += diff
+                blk[by, bx, 0] = pred[ci] << al
+            elif r.bits(1):
+                blk[by, bx, 0] = int(blk[by, bx, 0]) | (1 << al)
+
+        i_unit = 0
+        if len(scan_comps) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and i_unit and i_unit % restart == 0:
+                        expect_rst()
+                        pred = {ci: 0 for ci, *_ in scan_comps}
+                    i_unit += 1
+                    for ci, c, td, _ in scan_comps:
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                dc_block(ci, td, my * c["v"] + vy, mx * c["h"] + vx)
+        else:
+            ci, c, td, _ = scan_comps[0]
+            bwc = -(-(iw * c["h"]) // (8 * hmax))
+            bhc = -(-(ih * c["v"]) // (8 * vmax))
+            for by in range(bhc):
+                for bx in range(bwc):
+                    if restart and i_unit and i_unit % restart == 0:
+                        expect_rst()
+                        pred = {ci: 0}
+                    i_unit += 1
+                    dc_block(ci, td, by, bx)
+    else:  # AC scan: single component, band Ss..Se
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError("bad progressive spectral band")
+        ci, c, _, ta = scan_comps[0]
+        ac_t = huff.get((1, ta))
+        if ac_t is None:
+            raise ValueError("jpeg references missing table")
+        bwc = -(-(iw * c["h"]) // (8 * hmax))
+        bhc = -(-(ih * c["v"]) // (8 * vmax))
+        arr = coefs[ci]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        i_blk = 0
+        for by in range(bhc):
+            for bx in range(bwc):
+                if restart and i_blk and i_blk % restart == 0:
+                    expect_rst()
+                    eobrun = 0
+                i_blk += 1
+                blk = arr[by, bx]
+                if ah == 0:  # first pass (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_read_symbol(r, ac_t)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += rr
+                        if k > se:
+                            raise ValueError("jpeg AC index overflow")
+                        blk[k] = _jpeg_extend(r.bits(s), s) << al
+                        k += 1
+                else:  # refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_read_symbol(r, ac_t)
+                            rr, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if rr != 15:
+                                    eobrun = 1 << rr
+                                    if rr:
+                                        eobrun += r.bits(rr)
+                                    break
+                                # rr == 15: ZRL — skip 16 zero-history coefs
+                            elif s != 1:
+                                raise ValueError("bad jpeg refinement symbol")
+                            else:
+                                val = p1 if r.bits(1) else m1
+                            # advance over rr zero-history coefficients,
+                            # reading correction bits at nonzero-history ones
+                            while k <= se:
+                                v = int(blk[k])
+                                if v != 0:
+                                    if r.bits(1) and (v & p1) == 0:
+                                        blk[k] = v + (p1 if v >= 0 else m1)
+                                else:
+                                    if rr == 0:
+                                        break
+                                    rr -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("jpeg refinement overflow")
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # rest of this block: correction bits only
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0 and r.bits(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    # skip any pad bits, position at the next marker for the outer walk
+    o = r.off
+    while o + 1 < len(p) and (p[o] != 0xFF or p[o + 1] == 0x00):
+        o += 1
+    return o
+
+
+def _jpeg_prog_finish(iw, ih, comps, qt, coefs, hmax, vmax) -> dict:
+    """All scans consumed: dequantize + de-zigzag + IDCT every block of
+    every component (vectorized einsum over the whole block grid), then
+    the shared upsample/color tail."""
+    planes = []
+    for c, arr in zip(comps, coefs):
+        dq = qt[c["tq"]]
+        bh, bw = arr.shape[:2]
+        blk = np.zeros((bh, bw, 64), np.int64)
+        blk[..., _JPEG_ZZ] = arr  # de-zigzag
+        coef = blk.reshape(bh, bw, 8, 8) * dq
+        spatial = np.einsum("ij,xyjk,kl->xyil", _DCT_C.T, coef, _DCT_C) + 128.0
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_finish_planes(iw, ih, comps, planes, hmax, vmax)
 
 
 def _jpeg_decode_scan(p, off, iw, ih, comps, qt, huff, restart) -> dict:
@@ -724,7 +1192,12 @@ def _jpeg_decode_scan(p, off, iw, ih, comps, qt, huff, restart) -> dict:
     except (_JpegMarkerHit, IndexError) as e:
         if i_mcu < n_mcu:
             raise ValueError(f"truncated jpeg scan at MCU {i_mcu}/{n_mcu}") from e
-    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    return _jpeg_finish_planes(iw, ih, comps, planes, hmax, vmax)
+
+
+def _jpeg_finish_planes(iw, ih, comps, planes, hmax, vmax) -> dict:
+    """Shared decoder back half: upsample each component plane to the full
+    MCU-grid resolution, crop to frame size, YCbCr→RGB, summarize."""
     full = []
     for c, plane in zip(comps, planes):
         if c["h"] != hmax or c["v"] != vmax:
@@ -1196,8 +1669,10 @@ def synthesize_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
               rgb=(13i+2, 5i+9, 17i+3) mod 256, interlaced when i%2==1
               ⇒ body_mean = (r+g+b)/3 (round-trips real LZW + deinterlace)
       i%5==4: JPEG w=8+i%9, h=8+i%5, flat fill rgb=(11i+4, 7i+6, 3i+8)
-              mod 256, 4:2:0 when i%2==0 ⇒ body_mean ≈ (r+g+b)/3 within
-              quantization error (lossy codec; the contract query asserts
+              mod 256; baseline 4:2:0 when i%2==0, PROGRESSIVE (SOF2,
+              4-scan spectral-selection + successive-approximation script)
+              when i%2==1 ⇒ body_mean ≈ (r+g+b)/3 within quantization
+              error (lossy codec; the contract query asserts
               |decoded − expected| ≤ 3.5 instead of exact equality)
     """
     out_schema = ", ".join(
@@ -1240,8 +1715,9 @@ def synthesize_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     w, h = 8 + i % 9, 8 + i % 5
                     c = ((11 * i + 4) % 256, (7 * i + 6) % 256, (3 * i + 8) % 256)
+                    enc = encode_jpeg if i % 2 == 0 else encode_jpeg_progressive
                     payloads.append(
-                        encode_jpeg(
+                        enc(
                             np.full((h, w, 3), c, np.uint8),
                             subsample=(i % 2 == 0),
                         )

@@ -1,6 +1,8 @@
-"""Byte-level codec tests for the r4 REAL pixel decoders: baseline JPEG
-(ITU T.81: Huffman entropy decode, dequant, IDCT, subsampling, restarts)
-and GIF (LZW with variable code width, interlace, animation). The encoders
+"""Byte-level codec tests for the REAL pixel decoders: JPEG — baseline
+(r4) AND progressive/SOF2 (r5) per ITU T.81 (Huffman entropy decode,
+spectral-selection + successive-approximation scans, dequant, IDCT,
+subsampling, restarts) — and GIF (LZW with variable code width, interlace,
+animation). The encoders
 are test/datagen helpers built from the same public specs, so every test is
 an independent round-trip: encode with known parameters -> decode -> compare
 pixels/statistics, never comparing an implementation to itself.
@@ -23,6 +25,7 @@ from kafka_mongo_watcher_spark.functions.multimodal import (
     decode_media,
     encode_gif,
     encode_jpeg,
+    encode_jpeg_progressive,
     synthesize_containers,
 )
 
@@ -164,13 +167,58 @@ def test_jpeg_odd_dimensions_crop():
         assert meta["body_mean"] == pytest.approx(float(rgb.mean()), abs=4.0)
 
 
-def test_jpeg_progressive_degrades_to_sof_probe():
+@pytest.mark.parametrize("subsample,dri", [(False, 0), (True, 0), (False, 3), (True, 2)])
+def test_jpeg_progressive_decodes_bit_exact(subsample, dri):
+    """Progressive (SOF2) pixel decode is REAL since r5: the 4-scan script
+    (DC first/refine interleaved + per-component AC first/refine with EOBn
+    runs and correction bits) reconstructs the SAME quantized coefficients
+    as the sequential encoding of the same image, so decoded pixels are
+    bit-identical between the two encodings."""
+    rgb = _gradient(40, 48)
+    _decode_jpeg(encode_jpeg(rgb, subsample=subsample))
+    base = _jpeg_decode_scan.last_pixels.copy()
+    meta = _decode_jpeg(
+        encode_jpeg_progressive(rgb, subsample=subsample, restart_interval=dri)
+    )
+    assert (meta["width"], meta["height"], meta["codec"]) == (48, 40, "jpeg")
+    assert meta["body_mean"] is not None  # full decode, not the probe
+    assert np.array_equal(_jpeg_decode_scan.last_pixels, base)
+
+
+def test_jpeg_progressive_flat_exercises_eob_runs():
+    """A flat fill zeroes every AC coefficient, so the AC-first scans are a
+    single EOBn run across all blocks and the refinement scans are pure
+    EOB-run corrections — the exact paths sequential JPEG never hits."""
+    rgb = np.full((40, 56, 3), (200, 30, 99), np.uint8)
+    meta = _decode_jpeg(encode_jpeg_progressive(rgb))
+    assert meta["body_mean"] == pytest.approx((200 + 30 + 99) / 3.0, abs=3.5)
+
+
+def test_jpeg_progressive_truncated_degrades_to_probe():
+    j = encode_jpeg_progressive(_gradient(32, 32))
+    meta = _decode_jpeg(j[: len(j) // 2])
+    assert (meta["width"], meta["height"], meta["body_mean"]) == (32, 32, None)
+
+
+def test_jpeg_sequential_marked_progressive_degrades_to_probe():
+    """A sequential stream with its SOF rewritten to SOF2 is malformed as
+    progressive (its single scan claims band 0..63 with Ss=0) — the decoder
+    must reject it and fall back to the honest metadata probe."""
     j = bytearray(encode_jpeg(_gradient(16, 16)))
     i = j.find(b"\xff\xc0")
-    j[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    j[i + 1] = 0xC2
     meta = _decode_jpeg(bytes(j))
     assert (meta["width"], meta["height"], meta["codec"]) == (16, 16, "jpeg")
     assert meta["body_mean"] is None  # probe, not a fake decode
+
+
+def test_jpeg_arithmetic_degrades_to_sof_probe():
+    j = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = j.find(b"\xff\xc0")
+    j[i + 1] = 0xC9  # arithmetic-coded extended sequential
+    meta = _decode_jpeg(bytes(j))
+    assert (meta["width"], meta["height"], meta["codec"]) == (16, 16, "jpeg")
+    assert meta["body_mean"] is None
 
 
 def test_jpeg_truncated_scan_degrades_to_probe():
