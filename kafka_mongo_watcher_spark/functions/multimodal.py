@@ -983,6 +983,27 @@ def _jpeg_prog_scan(
         if not 0xD0 <= m_ <= 0xD7:
             raise ValueError("expected jpeg restart marker")
 
+    try:
+        _jpeg_prog_scan_body(
+            r, iw, ih, scan_comps, ss, se, ah, al, coefs, huff, restart,
+            hmax, vmax, mcux, mcuy, expect_rst,
+        )
+    except (_JpegMarkerHit, IndexError) as e:
+        # entropy data ran into a marker / past the buffer mid-scan: the
+        # stream is structurally truncated — degrade to the SOF probe via
+        # the ladder's ValueError, never leak the internal signal
+        raise ValueError("truncated progressive jpeg scan") from e
+    # skip any pad bits, position at the next marker for the outer walk
+    o = r.off
+    while o + 1 < len(p) and (p[o] != 0xFF or p[o + 1] == 0x00):
+        o += 1
+    return o
+
+
+def _jpeg_prog_scan_body(
+    r, iw, ih, scan_comps, ss, se, ah, al, coefs, huff, restart,
+    hmax, vmax, mcux, mcuy, expect_rst,
+) -> None:
     if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan with nonzero Se")
@@ -1111,11 +1132,6 @@ def _jpeg_prog_scan(
                                 blk[k] = v + (p1 if v >= 0 else m1)
                             k += 1
                         eobrun -= 1
-    # skip any pad bits, position at the next marker for the outer walk
-    o = r.off
-    while o + 1 < len(p) and (p[o] != 0xFF or p[o + 1] == 0x00):
-        o += 1
-    return o
 
 
 def _jpeg_prog_finish(iw, ih, comps, qt, coefs, hmax, vmax) -> dict:

@@ -212,6 +212,22 @@ def test_jpeg_sequential_marked_progressive_degrades_to_probe():
     assert meta["body_mean"] is None  # probe, not a fake decode
 
 
+def test_jpeg_progressive_every_truncation_point_degrades_cleanly():
+    """Cut the progressive stream at many offsets inside the entropy data:
+    the decode ladder must land on the probe (body_mean None) or the stub
+    (ValueError) — never leak an internal marker-hit/IndexError signal and
+    never report a fake mean from partial coefficients."""
+    rgb = _gradient(24, 32)
+    j = encode_jpeg_progressive(rgb, subsample=True, restart_interval=2)
+    sos = j.find(b"\xff\xda")
+    for cut in range(sos + 20, len(j) - 2, 31):
+        try:
+            meta = _decode_jpeg(j[:cut])
+        except ValueError:
+            continue  # stub fallback is an honest outcome
+        assert meta["body_mean"] is None, f"fake decode at cut={cut}"
+
+
 def test_jpeg_arithmetic_degrades_to_sof_probe():
     j = bytearray(encode_jpeg(_gradient(16, 16)))
     i = j.find(b"\xff\xc0")
