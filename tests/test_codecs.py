@@ -212,6 +212,22 @@ def test_jpeg_sequential_marked_progressive_degrades_to_probe():
     assert meta["body_mean"] is None  # probe, not a fake decode
 
 
+@pytest.mark.parametrize("seed,shape", [(1, (8, 8)), (2, (17, 13)), (3, (32, 24)), (4, (9, 41))])
+def test_jpeg_progressive_random_noise_bit_exact(seed, shape):
+    """Seeded uniform noise maximizes AC coefficient density (long runs,
+    ZRL chains, large magnitude classes, deep refinement activity) — the
+    harshest input for the progressive entropy coder. Both subsample modes
+    must still reproduce the sequential encoding's pixels exactly."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    for sub in (False, True):
+        _decode_jpeg(encode_jpeg(rgb, subsample=sub))
+        base = _jpeg_decode_scan.last_pixels.copy()
+        meta = _decode_jpeg(encode_jpeg_progressive(rgb, subsample=sub))
+        assert meta["body_mean"] is not None
+        assert np.array_equal(_jpeg_decode_scan.last_pixels, base)
+
+
 def test_jpeg_progressive_every_truncation_point_degrades_cleanly():
     """Cut the progressive stream at many offsets inside the entropy data:
     the decode ladder must land on the probe (body_mean None) or the stub
